@@ -1,0 +1,57 @@
+"""Host-side data utilities (numpy / cv2) — reference codes/data/util.py."""
+
+from __future__ import annotations
+
+import os
+
+import cv2
+import numpy as np
+
+
+def get_vid_paths(dataroot: str, data_list: str):
+    """Per-video frame path lists: each line of `data_list` is a clip dir
+    under `dataroot` holding frames im1.png..imN.png
+    (reference data/util.py:59-87)."""
+    videos = []
+    with open(data_list) as f:
+        for line in f:
+            sub = line.strip()
+            if not sub:
+                continue
+            d = os.path.join(dataroot, sub)
+            n = len(os.listdir(d))
+            videos.append([os.path.join(d, f"im{i}.png") for i in range(1, n + 1)])
+    return sorted(videos)
+
+
+def read_img(path: str) -> np.ndarray:
+    """BGR float32 HWC in [0,1] (reference read_img1, data/util.py:103-115)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return img
+
+
+def augment(img: np.ndarray, hflip: bool, vflip: bool, rot90: bool):
+    """(H,W,C); same flips/transpose as reference data/util.py:150-165."""
+    if hflip:
+        img = img[:, ::-1, :]
+    if vflip:
+        img = img[::-1, :, :]
+    if rot90:
+        img = img.transpose(1, 0, 2)
+    return img
+
+
+def bgr2rgb(img: np.ndarray) -> np.ndarray:
+    return img[:, :, [2, 1, 0]] if img.shape[2] == 3 else img
+
+
+def modcrop(img: np.ndarray, scale: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    return img[: h - h % scale, : w - w % scale]

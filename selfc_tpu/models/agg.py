@@ -1,0 +1,152 @@
+"""Temporal aggregation modules for the STP prior.
+
+* GlobalAgg — non-local T x T temporal attention over pooled frame tokens
+  (reference SelfC_GMM_arch_inv.py:257-285; codec copy :103-131). This is
+  the `global_module: nonlocal` used by every shipped config.
+* DeformConvAgg / GroupedGlobalDeformAgg — modulated-deformable-conv
+  aggregation (reference :90-254). torchvision's CUDA `deform_conv2d` has
+  no XLA primitive; we lower it to a bilinear gather + 3x3 accumulation
+  (see ops/deform.py).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import (
+    conv2d,
+    leaky_relu,
+    pointwise,
+    torch_default_b as _torch_default_b,
+    torch_default_w as _torch_default_w,
+    zeros_init,
+)
+from ..ops.deform import deform_conv2d
+from ..ops.resize import adaptive_avg_pool2d
+
+
+class GlobalAgg(nn.Module):
+    """x: (B, T, H, W, C) -> same shape; residual temporal attention."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        w1 = self.param("proj1_w", _torch_default_w, (C, C))
+        b1 = self.param("proj1_b", _torch_default_b(C), (C,))
+        x_proj1 = pointwise(x, w1, b1)
+
+        pooled = adaptive_avg_pool2d(x, (32, 32))  # (B,T,32,32,C)
+        pooled = pooled.reshape(B, T, 32 * 32, C)
+        wf = self.param("fc_w", _torch_default_w, (32 * 32, 1))
+        bf = self.param("fc_b", _torch_default_b(32 * 32), (1,))
+        tokens = jnp.einsum("btpc,po->btc", pooled, wf) + bf[0]  # (B,T,C)
+
+        w2 = self.param("proj2_w", _torch_default_w, (C, C))
+        b2 = self.param("proj2_b", _torch_default_b(C), (C,))
+        w3 = self.param("proj3_w", _torch_default_w, (C, C))
+        b3 = self.param("proj3_b", _torch_default_b(C), (C,))
+        q = tokens @ w2 + b2
+        k = tokens @ w3 + b3
+        attn = jax.nn.softmax((q @ k.transpose(0, 2, 1)) / C, axis=-1)  # (B,T,T)
+        # reference: out frame j = x_j + sum_i attn[i, j] * proj1(x_i)
+        weighted = jnp.einsum("bihwc,bij->bjhwc", x_proj1, attn)
+        return x + weighted
+
+
+class DeformConvAgg(nn.Module):
+    """Temporal aggregation via modulated deformable conv
+    (reference DeformConvAgg, SelfC_GMM_arch_inv.py:188-254)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        K = 3
+        x_stacked = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
+        off_w = self.param("offset_w", zeros_init, (K, K, T * C, 2 * K * K * T * T))
+        off_b = self.param("offset_b", zeros_init, (2 * K * K * T * T,))
+        mod_w = self.param("modulator_w", zeros_init, (K, K, T * C, K * K * T * T))
+        mod_b = self.param("modulator_b", zeros_init, (K * K * T * T,))
+        reg_w = self.param(
+            "regular_w", _torch_default_w, (K, K, C, C)
+        )
+        reg_b = self.param("regular_b", _torch_default_b(C * K * K), (C,))
+        proj_w = self.param("proj_w", zeros_init, (C, C))
+
+        offset = conv2d(x_stacked, off_w, off_b)  # (B,H,W,2KK*T*T)
+        modulator = 2.0 * jax.nn.sigmoid(conv2d(x_stacked, mod_w, mod_b))
+        offset = offset.reshape(B, H, W, T * T, 2 * K * K)
+        modulator = modulator.reshape(B, H, W, T * T, K * K)
+        # reference: out[t1] = sum_t2 deform(x[t1], offset_chunk(t1*T+t2))
+        # (x_repeat repeats each frame T times; SelfC_GMM_arch_inv.py:240-250)
+        agg = []
+        for t1 in range(T):
+            acc = 0.0
+            for t2 in range(T):
+                p = t1 * T + t2
+                acc = acc + deform_conv2d(
+                    x[:, t1], offset[..., p, :], modulator[..., p, :],
+                    reg_w, reg_b,
+                )
+            agg.append(acc)
+        agg = jnp.stack(agg, axis=1)
+        return x + pointwise(agg, proj_w)
+
+
+class GroupedGlobalDeformAgg(nn.Module):
+    """Grouped global context + deformable aggregation
+    (reference GroupedGlobalDeformAgg, SelfC_GMM_arch_inv.py:90-186)."""
+
+    c: int
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        g = self.groups
+        cg = C // g
+        gcp = T * cg
+        K = 3
+        # grouped global context reallocation over (T*cg) channels per group
+        xg = x.reshape(B, T, H, W, g, cg)
+        xg = xg.transpose(0, 4, 2, 3, 1, 5).reshape(B * g, H, W, T * cg)
+        r1_w = self.param("realloc1_w", _torch_default_w, (3, 3, gcp, gcp))
+        r1_b = self.param("realloc1_b", _torch_default_b(gcp * 9), (gcp,))
+        r2_w = self.param("realloc2_w", zeros_init, (3, 3, gcp, gcp))
+        r2_b = self.param("realloc2_b", zeros_init, (gcp,))
+        h = leaky_relu(conv2d(xg, r1_w, r1_b), 0.2)
+        h = conv2d(h, r2_w, r2_b)
+        xe = xg + h
+        xe = xe.reshape(B, g, H, W, T, cg).transpose(0, 4, 2, 3, 1, 5)
+        x_enh = xe.reshape(B, T, H, W, C)
+
+        off_w = self.param("offset_w", zeros_init, (K, K, C, 2 * K * K * T))
+        off_b = self.param("offset_b", zeros_init, (2 * K * K * T,))
+        mod_w = self.param("modulator_w", zeros_init, (K, K, C, K * K * T))
+        mod_b = self.param("modulator_b", zeros_init, (K * K * T,))
+        reg_w = self.param("regular_w", zeros_init, (K, K, C, C))
+        reg_b = self.param("regular_b", zeros_init, (C,))
+
+        xf = x_enh.reshape(B * T, H, W, C)
+        offset = conv2d(xf, off_w, off_b).reshape(B, T, H, W, T, 2 * K * K)
+        modulator = 2.0 * jax.nn.sigmoid(conv2d(xf, mod_w, mod_b)).reshape(
+            B, T, H, W, T, K * K
+        )
+        agg = []
+        for t_out in range(T):
+            acc = 0.0
+            for t_in in range(T):
+                acc = acc + deform_conv2d(
+                    x_enh[:, t_out],  # reference repeats the *source* frame
+                    offset[:, t_out, :, :, t_in],
+                    modulator[:, t_out, :, :, t_in],
+                    reg_w, reg_b,
+                )
+            agg.append(acc)
+        agg = jnp.stack(agg, axis=1)
+        return x_enh + agg

@@ -1,0 +1,28 @@
+"""Straight-through-estimator quantization.
+
+Reference: models/modules/Quantization.py:4-26 — forward
+``round(clip(x,0,1)*255)/255`` with identity backward.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def quantize_ste(x, quant_v: float = 255.0, is_clip: bool = True):
+    if is_clip:
+        x = jnp.clip(x, 0.0, 1.0)
+    return jnp.round(x * quant_v) / quant_v
+
+
+def _fwd(x, quant_v=255.0, is_clip=True):
+    return quantize_ste(x, quant_v, is_clip), None
+
+
+def _bwd(_, g):
+    return (g, None, None)
+
+
+quantize_ste.defvjp(_fwd, _bwd)

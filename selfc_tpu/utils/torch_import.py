@@ -1,0 +1,148 @@
+"""Import reference PyTorch ``.pth`` state-dicts into flax param trees.
+
+The reference checkpoints (``{iter}_G.pth``, reference base_model.py:77-85)
+are NCHW torch tensors; our layout is channels-last with temporal convs
+stored as ``(3, Cin, Cout)`` matmuls. Kernel conversion is decided purely by
+tensor shape; name mapping is per-architecture regex rules.
+
+Mirrors reference load semantics: strips a ``module.`` DDP prefix and skips
+``Quantization_H265_Suggrogate`` keys (base_model.py:87-107).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def convert_tensor(name: str, w: np.ndarray) -> np.ndarray:
+    """torch kernel -> our kernel, by shape."""
+    w = np.asarray(w)
+    if w.ndim == 5:  # Conv3d (Co, Ci, kt, kh, kw)
+        kt, kh, kw = w.shape[2:]
+        if (kt, kh, kw) == (1, 1, 1):
+            return w[:, :, 0, 0, 0].T  # pointwise (Ci, Co)
+        if kh == 1 and kw == 1:  # temporal (3,1,1)
+            return w[:, :, :, 0, 0].transpose(2, 1, 0)  # (kt, Ci, Co)
+        if kt == 1:  # spatial (1,kh,kw)
+            return w[:, :, 0].transpose(2, 3, 1, 0)  # (kh, kw, Ci, Co)
+        return w.transpose(2, 3, 4, 1, 0)  # full (kt,kh,kw,Ci,Co)
+    if w.ndim == 4:  # Conv2d (Co, Ci, kh, kw)
+        if w.shape[2] == 1 and w.shape[3] == 1:
+            return w[:, :, 0, 0].T  # pointwise (Ci, Co)
+        return w.transpose(2, 3, 1, 0)
+    if w.ndim == 2:  # Linear (Co, Ci)
+        return w.T
+    return w  # biases etc.
+
+
+def _set(tree: dict, path: list, value):
+    d = tree
+    for k in path[:-1]:
+        d = d.setdefault(k, {})
+    d[path[-1]] = value
+
+
+_GLOBALAGG_FIELDS = {
+    "fc.weight": "fc_w",
+    "fc.bias": "fc_b",
+    "proj1.weight": "proj1_w",
+    "proj1.bias": "proj1_b",
+    "proj2.weight": "proj2_w",
+    "proj2.bias": "proj2_b",
+    "proj3.weight": "proj3_w",
+    "proj3.bias": "proj3_b",
+}
+
+
+def _map_globalagg(rest: str):
+    return [_GLOBALAGG_FIELDS[rest]]
+
+
+def _map_dense(rest: str):
+    # "conv3.weight" -> ["chain", "conv3", "weight"]
+    conv, leaf = rest.split(".")
+    return ["chain", conv, leaf]
+
+
+def map_reference_key(key: str, arch: str, block_num=(4, 4)):
+    """reference state-dict key -> path in our param tree (list of str),
+    or None to skip. arch: 'gmm' | 'codec' | 'haar' | 'irn'."""
+    key = re.sub(r"^module\.", "", key)
+    if "Quantization_H265_Suggrogate" in key or "Quantization_H265" in key:
+        return None  # reference skips surrogate keys on load (base_model.py:94)
+    if "haar_weights" in key:
+        return None  # fixed buffers, not parameters here
+
+    m = re.match(r"operations\.(\d+)\.([FGH])\.(.*)", key)
+    if m:
+        idx, sub, rest = int(m.group(1)), m.group(2), m.group(3)
+        if arch in ("gmm", "codec"):
+            # operations.0 is the (param-free) FrequencyAnalyzer
+            return [f"inv_blocks_{idx - 1}", sub] + _map_dense(rest)
+        # haar/irn: ops = [haar, b0..b_{n0-1}, haar, b...] — haar has params
+        # (haar_weights) handled above; blocks sit at running indices.
+        level_sizes = list(block_num)
+        pos = 0
+        for level, n in enumerate(level_sizes):
+            start = pos + 1  # skip the haar module at `pos`
+            if start <= idx < start + n:
+                return [
+                    f"level_blocks_{level}_{idx - start}",
+                    sub,
+                ] + _map_dense(rest)
+            pos = start + n - 1 + 1
+        raise KeyError(f"cannot place {key}")
+
+    m = re.match(r"stp_net\.(local_m\d)\.(.*)", key)
+    if m:
+        return ["stp_net", m.group(1)] + _map_dense(m.group(2))
+    m = re.match(r"stp_net\.(global_m\d)\.(.*)", key)
+    if m:
+        return ["stp_net", m.group(1)] + _map_globalagg(m.group(2))
+    m = re.match(r"stp_net\.other_stp_modules\.(\d+)\.(.*)", key)
+    if m:
+        n, rest = int(m.group(1)), m.group(2)
+        if rest.startswith("conv"):
+            return ["stp_net", f"other_local_{n // 2}"] + _map_dense(rest)
+        return ["stp_net", f"other_global_{n // 2}"] + _map_globalagg(rest)
+    m = re.match(r"stp_net\.(?:tail_gmm|tail)\.(\d+)\.(.*)", key)
+    if m:
+        seq_idx, leaf = int(m.group(1)), m.group(2)
+        return ["stp_net", f"tail_{(seq_idx - 1) // 2}", leaf]
+    # small Haar-variant STPNet
+    m = re.match(r"stp_net\.blk1\.(\d+)\.(.*)", key)
+    if m:
+        return ["stp_net", f"blk1_{m.group(1)}"] + _map_dense(m.group(2))
+    m = re.match(r"stp_net\.blk2\.(.*)", key)
+    if m:
+        return ["stp_net", "blk2"] + _map_dense(m.group(1))
+    m = re.match(r"deart_net\.(\d+)\.(.*)", key)
+    if m:
+        n, rest = int(m.group(1)), m.group(2)
+        if rest.startswith("conv"):
+            return [f"deart_{n}"] + _map_dense(rest)
+        return None  # GroupedGlobalDeformAgg import: phase 2
+    raise KeyError(f"unmapped reference key: {key}")
+
+
+def import_state_dict(state_dict, arch: str, block_num=(4, 4)) -> dict:
+    """torch state_dict (name -> array-like) -> flax params dict."""
+    tree: dict = {}
+    for k, v in state_dict.items():
+        path = map_reference_key(k, arch, block_num)
+        if path is None:
+            continue
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        _set(tree, path, np.asarray(convert_tensor(k, arr), np.float32))
+    return tree
+
+
+def load_pth(path: str, arch: str, block_num=(4, 4)) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return import_state_dict(sd, arch, block_num)
