@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: frames/sec/chip for the flagship SelfC-GMM 4x rescaling
+roundtrip (encode -> quantize -> prior-sample -> decode) at Vid4 'city'
+resolution (1 x 7 x 576 x 704 x 3).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": x}
+
+vs_baseline compares against the reference PyTorch implementation run on
+CPU for the identical workload. Because the torch-CPU measurement is slow,
+its result is cached in bench_baseline.json (regenerate with
+``python bench.py --make-baseline``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SHAPE = (1, 7, 576, 704, 3)  # B, T, H, W, C — Vid4 'city' at T=7
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def bench_tpu(reps: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from selfc_tpu.models.inv_nets import SelfCNetGMM
+
+    net = SelfCNetGMM()
+    x = jnp.asarray(np.random.default_rng(0).random(SHAPE), jnp.float32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x[:, :, :96, :96], method=net.roundtrip,
+    )
+    params = variables["params"]
+
+    @jax.jit
+    def step(params, x, key):
+        out = net.apply(
+            {"params": params}, x, method=net.roundtrip, rngs={"sample": key}
+        )
+        return out["hr"], out["lr"]
+
+    key = jax.random.PRNGKey(2)
+    hr, lr = step(params, x, key)
+    jax.block_until_ready(hr)  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(reps):
+        hr, lr = step(params, x, jax.random.fold_in(key, i))
+    jax.block_until_ready(hr)
+    dt = (time.perf_counter() - t0) / reps
+    frames = SHAPE[0] * SHAPE[1]
+    return frames / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference implementation, torch CPU, same workload (fwd + rev)."""
+    import types
+
+    import torch
+
+    ref = "/root/reference/codes"
+    if not os.path.isdir(ref):
+        raise RuntimeError("reference repo not available")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvo = types.ModuleType("torchvision.ops")
+        tvo.deform_conv2d = lambda *a, **k: None
+        tv.ops = tvo
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tvo
+    for m in ("skvideo", "skvideo.io"):
+        sys.modules.setdefault(m, types.ModuleType(m))
+    sys.path.insert(0, ref)
+    torch.cuda.FloatTensor = torch.FloatTensor
+
+    import global_var
+
+    global_var.GlobalVar.set_Temporal_LEN(SHAPE[1])
+    global_var.GlobalVar.set_Istrain(True)
+    from models.modules.SelfC_GMM_arch_inv import SelfCInvNet
+
+    opt = {"global_module": "nonlocal", "stp_blk_num": 6, "fh_loss": "gmm",
+           "scale": 4, "gmm_k": 5}
+    net = SelfCInvNet(opt, 3, 3, "D2DTNet", [4, 4], 2).eval()
+    B, T, H, W, C = SHAPE
+    x = torch.rand(B * T, C, H, W)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        y, _ = net(x, rev=False)
+        lr = y[:, :3].clamp(0, 1)
+        out, _ = net(lr, rev=True)
+        dt = time.perf_counter() - t0
+    return (B * T) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--make-baseline", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.make_baseline:
+        fps = bench_torch_cpu()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"torch_cpu_fps": fps, "shape": SHAPE}, f)
+        print(json.dumps({"torch_cpu_fps": fps}))
+        return
+
+    fps = bench_tpu(args.reps)
+    vs = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("torch_cpu_fps"):
+            vs = fps / base["torch_cpu_fps"]
+    print(json.dumps({
+        "metric": "selfc_gmm_4x_rescale_roundtrip_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

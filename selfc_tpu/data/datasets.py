@@ -101,6 +101,62 @@ class LQGTVIDConsecutiveDataset(LQGTVIDDataset):
         return super()._select_frames(frames)
 
 
+def _bd_downsample_np(img: np.ndarray, scale: int) -> np.ndarray:
+    """Host-side DUF/BD gaussian downsample of one frame (H,W,C) — numpy
+    twin of ops/resize.gaussian_downsample for loader-side LQ generation
+    (reference LQGTVID_SR_dataset.py:161 + models/Guassian.py)."""
+    import math
+
+    sigma = 0.4 * scale
+    radius = min(int(4.0 * sigma + 0.5), 6)
+    w = np.zeros(13)
+    for i in range(-radius, radius + 1):
+        w[6 + i] = math.exp(-0.5 * (i / sigma) ** 2)
+    w /= w.sum()
+    k2d = np.outer(w, w).astype(np.float32)
+    pad = 6 + 2 * scale
+    x = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    blurred = cv2.filter2D(x, -1, k2d, borderType=cv2.BORDER_CONSTANT)
+    # sample the 13x13 correlation centers at stride `scale`
+    c = 6
+    y = blurred[c : x.shape[0] - c : scale, c : x.shape[1] - c : scale]
+    return np.ascontiguousarray(y[2:-2, 2:-2])
+
+
+class LQGTVIDSRDataset(LQGTVIDDataset):
+    """Adds an on-the-fly BD-downsampled LQ clip
+    (reference LQGTVID_SR_dataset.py)."""
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        scale = self.opt["scale"] or 4
+        lq = np.stack(
+            [_bd_downsample_np(f, scale) for f in item["GT"]], axis=0
+        )
+        item["LQ"] = lq
+        return item
+
+
+class LQGTVIDBicubicDataset(LQGTVIDDataset):
+    """Adds a bicubic LQ clip (reference LQGTVID_bicubic_dataset.py)."""
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        scale = self.opt["scale"] or 4
+        lq = np.stack(
+            [
+                cv2.resize(
+                    f, (f.shape[1] // scale, f.shape[0] // scale),
+                    interpolation=cv2.INTER_CUBIC,
+                )
+                for f in item["GT"]
+            ],
+            axis=0,
+        )
+        item["LQ"] = lq
+        return item
+
+
 def pad_clip_to_length(clip: np.ndarray, t_len: int) -> np.ndarray:
     """Repeat the last frame so the clip reaches t_len
     (reference SelfC_model.feed_data, SelfC_model.py:102-109)."""

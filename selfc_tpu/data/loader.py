@@ -14,7 +14,12 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .datasets import LQGTVIDConsecutiveDataset, LQGTVIDDataset
+from .datasets import (
+    LQGTVIDBicubicDataset,
+    LQGTVIDConsecutiveDataset,
+    LQGTVIDDataset,
+    LQGTVIDSRDataset,
+)
 
 
 def create_dataset(dataset_opt):
@@ -23,6 +28,10 @@ def create_dataset(dataset_opt):
         return LQGTVIDDataset(dataset_opt)
     if mode in ("LQGTVID_Conseutive", "LQGTVID_Consecutive"):
         return LQGTVIDConsecutiveDataset(dataset_opt)
+    if mode == "LQGTVID_SR":
+        return LQGTVIDSRDataset(dataset_opt)
+    if mode == "LQGTVID_bicubic":
+        return LQGTVIDBicubicDataset(dataset_opt)
     raise NotImplementedError(f"dataset mode {mode!r} not recognized")
 
 

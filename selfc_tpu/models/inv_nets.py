@@ -308,6 +308,21 @@ class SelfCNetCodec(nn.Module):
             y, _ = blk(y, rev=True)
         return freq_inverse(y, self.scale), hf
 
+    def decode_with_hf(self, lr, hf):
+        y = jnp.concatenate([lr, hf], axis=-1)
+        for blk in reversed(self.inv_blocks):
+            y, _ = blk(y, rev=True)
+        return freq_inverse(y, self.scale), y
+
+    def roundtrip(self, x):
+        """codec-free roundtrip (used for param init and smoke paths; the
+        real codec span is inserted by train/codec_model.py)."""
+        y, _ = self.encode(x)
+        lr = quantize_ste(y[..., :3])
+        hr, _ = self.decode(lr)
+        return {"lr_pre_quant": y[..., :3], "lr": lr, "hr": hr,
+                "loss_c": jnp.zeros(())}
+
     def __call__(self, x, rev: bool = False):
         if not rev:
             y, _ = self.encode(x)

@@ -6,23 +6,25 @@ Reference: models/modules/Quantization.py:4-26 — forward
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
-@jax.custom_vjp
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def quantize_ste(x, quant_v: float = 255.0, is_clip: bool = True):
     if is_clip:
         x = jnp.clip(x, 0.0, 1.0)
     return jnp.round(x * quant_v) / quant_v
 
 
-def _fwd(x, quant_v=255.0, is_clip=True):
+def _fwd(x, quant_v, is_clip):
     return quantize_ste(x, quant_v, is_clip), None
 
 
-def _bwd(_, g):
-    return (g, None, None)
+def _bwd(quant_v, is_clip, _, g):
+    return (g,)
 
 
 quantize_ste.defvjp(_fwd, _bwd)

@@ -1,0 +1,76 @@
+"""Device mesh + sharding helpers.
+
+The reference's parallelism surface is NCCL DDP: per-rank batch split with
+an implicit gradient all-reduce (reference train.py:19-27, SelfC_model.py:
+41-42, data/__init__.py:13-14). TPU-native equivalent:
+
+  * ``make_mesh`` builds a ``jax.sharding.Mesh`` with axes ``(dp, sp)`` —
+    data parallel over clips, optional spatial parallel over image width
+    (XLA inserts halo exchanges for the convs and psums for the grads,
+    all riding ICI).
+  * ``init_distributed`` maps the torch.distributed launcher env
+    (RANK/WORLD_SIZE/MASTER_ADDR) onto ``jax.distributed.initialize`` for
+    multi-host DCN setups.
+
+Everything downstream is plain ``jax.jit``: params replicated, batches
+sharded; no explicit collectives needed in model code.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed():
+    """Initialize the multi-host runtime from torch-launcher-style env vars
+    if present (no-op for single-host)."""
+    if "WORLD_SIZE" in os.environ and int(os.environ["WORLD_SIZE"]) > 1:
+        coord = os.environ.get("MASTER_ADDR", "127.0.0.1")
+        port = os.environ.get("MASTER_PORT", "8476")
+        jax.distributed.initialize(
+            coordinator_address=f"{coord}:{port}",
+            num_processes=int(os.environ["WORLD_SIZE"]),
+            process_id=int(os.environ["RANK"]),
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def make_mesh(dp: int | None = None, sp: int = 1, devices=None) -> Mesh:
+    """(dp, sp) mesh over all devices; dp defaults to n_devices // sp."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if dp is None:
+        dp = n // sp
+    if dp * sp != n:
+        raise ValueError(f"dp({dp}) * sp({sp}) != device count ({n})")
+    return Mesh(devices.reshape(dp, sp), axis_names=("dp", "sp"))
+
+
+def batch_sharding(mesh: Mesh, spatial_axis: int | None = None):
+    """Sharding for a (B, T, H, W, C) batch: B over dp, optionally W over sp."""
+    spec = [None] * 5
+    spec[0] = "dp"
+    if spatial_axis is not None and mesh.shape["sp"] > 1:
+        spec[spatial_axis] = "sp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def auto_batch_sharding(mesh: Mesh, batch_size: int, spatial_axis: int | None = None):
+    """dp sharding when the batch divides evenly, else replicate (small
+    eval batches)."""
+    if batch_size % mesh.shape["dp"] == 0:
+        return batch_sharding(mesh, spatial_axis)
+    return replicated(mesh)
+
+
+def shard_batch(mesh: Mesh, batch, spatial_axis: int | None = None):
+    """Place a host numpy batch onto the mesh with dp(+sp) sharding."""
+    return jax.device_put(batch, batch_sharding(mesh, spatial_axis))

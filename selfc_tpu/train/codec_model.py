@@ -1,0 +1,304 @@
+"""Codec (compression) model wrapper — reference SelfC_Codec_model.py:21-294.
+
+Training: encode -> quantize -> {real codec via zero-grad host op +
+surrogate swap | noise} -> decode; loss = (l_forw_fit + l_back_rec +
+loss_c + lambda_mimick*mimick) * loss_multiplier (reference :137-175).
+
+Eval: the streaming pipeline through a live x265 stream with GOP
+segmentation + tiling (selfc_tpu/codec/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..codec.noise import add_noise
+from ..codec.pipeline import compress_video
+from ..codec.surrogate import H265Surrogate, h265_host_roundtrip, mimick_and_swap
+from ..models import define_G
+from ..ops.quantize import quantize_ste
+from ..parallel.mesh import auto_batch_sharding, make_mesh, replicated
+from . import checkpoint as ckpt
+from .losses import reconstruction_loss
+from .lr_schedule import multistep_restart
+from .rescale_model import make_degrade
+
+logger = logging.getLogger("base")
+
+
+class CodecModel:
+    def __init__(self, opt, mesh=None, rng_seed: int = 0):
+        self.opt = opt
+        self.is_train = bool(opt["is_train"])
+        self.train_opt = opt["train"] or {}
+        self.net_opt = opt["network_G"]
+        self.scale = opt["scale"]
+        self.net = define_G(opt)
+        self.mesh = mesh if mesh is not None else make_mesh(sp=1)
+        self.degrade = make_degrade(opt["distortion"] or "sr_bd", self.scale)
+
+        self.q = self.net_opt["h265_q"]
+        self.keyint = self.net_opt["h265_keyint"]
+        self.h265_all_default = bool(self.net_opt["h265_all_default"])
+        self.use_surrogate = bool(self.is_train and self.train_opt["h265_sug"])
+        self.noise_type = self.train_opt["noise_type"] if self.is_train else "h265"
+        train_len = (
+            opt["datasets"]["train"]["video_len"]
+            if opt["datasets"] and opt["datasets"]["train"]
+            else 3
+        )
+        self._h265_keyint = train_len
+        self.surrogate = H265Surrogate(dynamic_q=isinstance(self.q, list))
+
+        self.rng = jax.random.PRNGKey(rng_seed)
+        self.params = self._init_params()
+        self.log_dict = OrderedDict()
+        self.start_iter = 0
+        self.start_epoch = 0
+        if self.is_train:
+            self._build_optimizer()
+        self.load()
+
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self._jit_encode_lf = jax.jit(self._encode_quantized_lf)
+        self._jit_encode = jax.jit(self._encode)
+        self._jit_decode = jax.jit(self._decode)
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        t = (
+            self.opt["datasets"]["train"]["video_len"]
+            if self.opt["datasets"] and self.opt["datasets"]["train"]
+            else 3
+        ) or 3
+        gt = (
+            self.opt["datasets"]["train"]["GT_size"]
+            if self.opt["datasets"] and self.opt["datasets"]["train"]
+            else None
+        ) or 16 * self.scale
+        x = jnp.zeros((1, t, gt, gt, 3), jnp.float32)
+        self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
+        net_vars = self.net.init(
+            {"params": k1, "sample": k2}, x, method=self.net.roundtrip
+        )
+        params = {"net": net_vars["params"]}
+        if self.use_surrogate:
+            lr = jnp.zeros((1, t, gt // self.scale, gt // self.scale, 3))
+            q0 = self.q[0] if isinstance(self.q, list) else self.q
+            sur_vars = self.surrogate.init(
+                {"params": k3}, lr, jnp.float32(q0)
+            )
+            params["surrogate"] = sur_vars["params"]
+        return jax.device_put(params, replicated(self.mesh))
+
+    def _build_optimizer(self):
+        to = self.train_opt
+        chain = []
+        if to["gradient_clipping"]:
+            chain.append(optax.clip_by_global_norm(to["gradient_clipping"]))
+        if to["weight_decay_G"]:
+            chain.append(optax.add_decayed_weights(to["weight_decay_G"]))
+        chain.append(
+            optax.scale_by_adam(b1=to["beta1"] or 0.9, b2=to["beta2"] or 0.999)
+        )
+        self.tx = optax.chain(*chain)
+        self.opt_state = self.tx.init(self.params)
+        self.lr_fn = multistep_restart(
+            to["lr_G"] or 1e-4,
+            to["lr_steps"] or [],
+            to["lr_gamma"] or 0.5,
+            to["restarts"],
+            to["restart_weights"],
+            to["warmup_iter"] or -1,
+        )
+
+    # ------------------------------------------------------------------
+    def _distort_lr(self, params, lr_q, codec_out, q_value, rng):
+        """quantized LR -> codec-distorted LR (+ mimick loss). codec_out is
+        the host-computed decoded LR (constant w.r.t. params)."""
+        if self.noise_type == "h265":
+            if self.use_surrogate:
+                sug = self.surrogate.apply(
+                    {"params": params["surrogate"]}, lr_q, q_value
+                )
+                lam = self.net_opt["lambda_corr"] or 0.0
+                swapped, mimick = mimick_and_swap(sug, codec_out, lam)
+                return swapped, mimick
+            # plain STE through the codec (reference Quantization_H265)
+            return lr_q + jax.lax.stop_gradient(codec_out - lr_q), jnp.zeros(())
+        noisy = add_noise(
+            lr_q, rng, self.train_opt["noise_magnitude"] or 1e-4, self.noise_type
+        )
+        return noisy, jnp.zeros(())
+
+    def _encode_quantized_lf(self, params, hr):
+        """First jit half: the quantized LF the host codec will chew on."""
+        y, _ = self.net.apply(
+            {"params": params["net"]}, hr, method=self.net.encode
+        )
+        return quantize_ste(y[..., :3])
+
+    def _loss(self, params, hr, ref_l, codec_out, rng, q_value):
+        to = self.train_opt
+        y, _ = self.net.apply(
+            {"params": params["net"]}, hr, method=self.net.encode
+        )
+        lf = y[..., :3]
+        lr_q = quantize_ste(lf)
+        k1, k2 = jax.random.split(rng)
+        lr_distorted, mimick = self._distort_lr(params, lr_q, codec_out, q_value, k1)
+        hr_rec, _ = self.net.apply(
+            {"params": params["net"]},
+            lr_distorted,
+            method=self.net.decode,
+            rngs={"sample": k2},
+        )
+        l_forw_fit = (to["lambda_fit_forw"] or 1.0) * reconstruction_loss(
+            lf, ref_l, to["pixel_criterion_forw"] or "l2"
+        )
+        l_back_rec = (to["lambda_rec_back"] or 1.0) * reconstruction_loss(
+            hr_rec, hr, to["pixel_criterion_back"] or "l1"
+        )
+        loss_c = jnp.zeros(())  # reference :472
+        mimick_term = (to["lambda_mimick_loss"] or 1.0) * mimick
+        loss = (l_forw_fit + l_back_rec + loss_c + mimick_term) * (
+            to["loss_multiplier"] or 1000.0
+        )
+        return loss, {
+            "l_forw_fit": l_forw_fit,
+            "l_back_rec": l_back_rec,
+            "loss_c": loss_c,
+            "mimick_loss": mimick_term,
+            "loss": loss,
+        }
+
+    def _train_step(self, params, opt_state, hr, codec_out, lr_value, rng, q_value):
+        ref_l = jax.lax.stop_gradient(self.degrade(hr))
+        (_, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, hr, ref_l, codec_out, rng, q_value
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr_value * u, params, updates)
+        return params, opt_state, logs
+
+    def _encode(self, params, x):
+        y, _ = self.net.apply(
+            {"params": params}, x, method=self.net.encode
+        )
+        return jnp.concatenate(
+            [quantize_ste(y[..., :3]), y[..., 3:]], axis=-1
+        )
+
+    def _decode(self, params, lr, rng):
+        hr, _ = self.net.apply(
+            {"params": params}, lr, method=self.net.decode,
+            rngs={"sample": rng},
+        )
+        return hr
+
+    # ------------------------------------------------------------------
+    def feed_data(self, data):
+        gt = np.asarray(data["GT"], np.float32)
+        self.real_H = jax.device_put(gt, auto_batch_sharding(self.mesh, gt.shape[0]))
+        return gt.shape[1]
+
+    def optimize_parameters(self, step: int):
+        lr_value = jnp.asarray(self.lr_fn(step), jnp.float32)
+        self.rng, k = jax.random.split(self.rng)
+        q = self.q
+        if isinstance(q, list):
+            q = random.randint(q[0], q[1])
+        # split-at-codec: jit encode half -> host codec -> jit loss+update
+        if self.noise_type == "h265":
+            lr_q = np.asarray(self._jit_encode_lf(self.params, self.real_H))
+            codec_out = jnp.asarray(
+                h265_host_roundtrip(lr_q, q, self._h265_keyint, self.scale)
+            )
+        else:
+            codec_out = jnp.zeros_like(
+                self._jit_encode_lf(self.params, self.real_H)
+            )
+        self.params, self.opt_state, logs = self._jit_train_step(
+            self.params, self.opt_state, self.real_H, codec_out, lr_value, k,
+            jnp.float32(q),
+        )
+        self.log_dict = OrderedDict((k_, float(v)) for k_, v in logs.items())
+        self.log_dict["lr"] = float(lr_value)
+
+    def test(self):
+        """Streaming roundtrip through the (real or stand-in) codec."""
+        x = np.asarray(self.real_H)
+        net_params = self.params["net"] if "net" in self.params else self.params
+
+        def encode_fn(chunk):
+            return self._jit_encode(net_params, jnp.asarray(chunk))
+
+        def decode_fn(tile):
+            self.rng, k = jax.random.split(self.rng)
+            return self._jit_decode(net_params, jnp.asarray(tile), k)
+
+        q = self.q if not isinstance(self.q, list) else self.q[0]
+        lr_dec, hr, video_bpp = compress_video(
+            encode_fn, decode_fn, x, q, self.keyint, self.scale,
+            self.h265_all_default,
+        )
+        self.forw_L = lr_dec
+        self.fake_H = hr
+        self.video_bpp = float(video_bpp)
+        self.img_bpp = float(video_bpp)
+        self.mimick_loss = 0.0
+        self.video_distor_loss = 0.0
+
+    def get_current_log(self):
+        return self.log_dict
+
+    def get_current_metrics(self):
+        return OrderedDict(
+            video_distor_loss=self.video_distor_loss,
+            video_bpp=self.video_bpp,
+            mimick_loss=self.mimick_loss,
+            img_bpp=self.img_bpp,
+        )
+
+    def get_current_visuals(self):
+        out = OrderedDict()
+        out["SR"] = self.fake_H
+        out["LR"] = self.forw_L
+        out["LR_ref"] = np.asarray(self.degrade(self.real_H))
+        out["GT"] = np.asarray(self.real_H)
+        return out
+
+    # ------------------------------------------------------------------
+    def load(self):
+        path = (self.opt["path"] or {}).get("pretrain_model_G")
+        if path:
+            logger.info("Loading model for G [%s] ...", path)
+            block_num = tuple(self.net_opt["block_num"] or (4,))
+            host = jax.device_get(self.params)
+            host["net"] = ckpt.load_network(path, host["net"], "codec", block_num)
+            self.params = jax.device_put(host, replicated(self.mesh))
+
+    def save(self, iter_label):
+        return ckpt.save_network(
+            self.params, self.opt["path"]["models"], iter_label
+        )
+
+    def save_training_state(self, epoch, it):
+        return ckpt.save_training_state(
+            self.opt["path"]["training_state"], epoch, it, self.opt_state
+        )
+
+    def resume_training(self, state_path, restore_optimizer=True):
+        payload = ckpt.load_training_state(state_path)
+        self.start_epoch = payload["epoch"]
+        self.start_iter = payload["iter"]
+        if restore_optimizer and self.is_train:
+            self.opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+        return payload

@@ -1,0 +1,282 @@
+"""Rescaling model wrapper — the reference SelfCModel API
+(feed_data / optimize_parameters / test / get_current_visuals /
+get_current_log / save / load / resume_training; SelfC_model.py:27-322)
+re-built around jitted functional steps on a device mesh.
+
+All host I/O is channels-last numpy ``(B, T, H, W, 3)``.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import define_G
+from ..ops.quantize import quantize_ste
+from ..ops.resize import area_down, gaussian_downsample, imresize_matlab
+from ..parallel.mesh import auto_batch_sharding, make_mesh, replicated
+from . import checkpoint as ckpt
+from .losses import reconstruction_loss
+from .lr_schedule import cosine_restart, multistep_restart
+
+logger = logging.getLogger("base")
+
+
+def make_degrade(distortion: str, scale: int):
+    if distortion == "pytorch_bicubic":
+        return lambda x: area_down(x, scale)
+    if distortion == "sr_bd":
+        return lambda x: gaussian_downsample(x, scale)
+    if distortion == "matlab":
+        return lambda x: imresize_matlab(x, 1.0 / scale)
+    raise ValueError(f"distortion {distortion!r}")
+
+
+class RescaleModel:
+    """Training/eval wrapper for SelfC_GMM / SelfC / IRN model types."""
+
+    def __init__(self, opt, mesh=None, rng_seed: int = 0):
+        self.opt = opt
+        self.is_train = bool(opt["is_train"])
+        self.train_opt = opt["train"] or {}
+        self.scale = opt["scale"]
+        self.net = define_G(opt)
+        self.mesh = mesh if mesh is not None else make_mesh(sp=1)
+        self.degrade = make_degrade(opt["distortion"] or "sr_bd", self.scale)
+        self._arch = {
+            "SelfC_GMM": "gmm",
+            "SelfC_GMM_Codec": "codec",
+            "SelfC": "haar",
+            "IRN": "irn",
+        }.get(opt["model"], "gmm")
+
+        self.rng = jax.random.PRNGKey(rng_seed)
+        self.params = self._init_params()
+        self.log_dict = OrderedDict()
+        self.start_iter = 0
+        self.start_epoch = 0
+
+        if self.is_train:
+            self._build_optimizer()
+        self.load()
+
+        # jitted steps, specialized per input shape on first call
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self._jit_encode = jax.jit(self._encode)
+        self._jit_decode = jax.jit(self._decode)
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        t = self.opt["datasets"]["train"]["video_len"] if (
+            self.opt["datasets"] and self.opt["datasets"]["train"]
+        ) else 3
+        gt = (
+            self.opt["datasets"]["train"]["GT_size"]
+            if (self.opt["datasets"] and self.opt["datasets"]["train"])
+            else 16 * self.scale
+        ) or 16 * self.scale
+        x = jnp.zeros((1, t or 3, gt, gt, 3), jnp.float32)
+        self.rng, k1, k2 = jax.random.split(self.rng, 3)
+        variables = self.net.init(
+            {"params": k1, "sample": k2}, x, method=self.net.roundtrip
+        )
+        params = variables["params"]
+        return jax.device_put(params, replicated(self.mesh))
+
+    def _build_optimizer(self):
+        to = self.train_opt
+        wd = to["weight_decay_G"] or 0.0
+        clip = to["gradient_clipping"]
+        chain = []
+        if clip:
+            chain.append(optax.clip_by_global_norm(clip))
+        if wd:
+            # torch Adam couples weight decay into the gradient
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(
+            optax.scale_by_adam(b1=to["beta1"] or 0.9, b2=to["beta2"] or 0.999)
+        )
+        self.tx = optax.chain(*chain)
+        self.opt_state = self.tx.init(self.params)
+        base_lr = to["lr_G"] or 1e-4
+        if (to["lr_scheme"] or "MultiStepLR") == "MultiStepLR":
+            self.lr_fn = multistep_restart(
+                base_lr,
+                to["lr_steps"] or [],
+                to["lr_gamma"] or 0.5,
+                to["restarts"],
+                to["restart_weights"],
+                to["warmup_iter"] or -1,
+            )
+        elif to["lr_scheme"] == "CosineAnnealingLR_Restart":
+            self.lr_fn = cosine_restart(
+                base_lr,
+                to["T_period"],
+                to["eta_min"] or 1e-7,
+                to["restarts"],
+                to["restart_weights"],
+                to["warmup_iter"] or -1,
+            )
+        else:
+            raise NotImplementedError(to["lr_scheme"])
+
+    # ------------------------------------------------------------------
+    # jitted bodies
+    # ------------------------------------------------------------------
+    def _loss(self, params, hr, ref_l, rng):
+        to = self.train_opt
+        out = self.net.apply(
+            {"params": params}, hr, method=self.net.roundtrip,
+            rngs={"sample": rng},
+        )
+        l_forw_fit = (to["lambda_fit_forw"] or 1.0) * reconstruction_loss(
+            out["lr_pre_quant"], ref_l, to["pixel_criterion_forw"] or "l2"
+        )
+        l_back_rec = (to["lambda_rec_back"] or 1.0) * reconstruction_loss(
+            out["hr"], hr, to["pixel_criterion_back"] or "l1"
+        )
+        loss_c = (to["lambda_cond_prob"] or 0.0) * out["loss_c"]
+        # reference scales the total by 144*144*3 (SelfC_model.py:169)
+        loss = (l_forw_fit + l_back_rec + loss_c) * 144 * 144 * 3
+        logs = {
+            "l_forw_fit": l_forw_fit,
+            "l_back_rec": l_back_rec,
+            "loss_c": loss_c,
+            "loss": loss,
+        }
+        return loss, logs
+
+    def _train_step(self, params, opt_state, hr, lr_value, rng):
+        ref_l = jax.lax.stop_gradient(self.degrade(hr))
+        (_, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, hr, ref_l, rng
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr_value * u, params, updates)
+        return params, opt_state, logs
+
+    def _encode(self, params, x):
+        y, _ = self.net.apply({"params": params}, x, method=self.net.encode)
+        return y
+
+    def _decode(self, params, lr, rng):
+        hr, hf = self.net.apply(
+            {"params": params}, lr, method=self.net.decode,
+            rngs={"sample": rng},
+        )
+        return hr, hf
+
+    # ------------------------------------------------------------------
+    # reference-compatible API
+    # ------------------------------------------------------------------
+    def feed_data(self, data):
+        """data['GT']: numpy (B, T, H, W, 3) RGB in [0,1]; pads the clip to
+        the configured video_len by repeating the last frame
+        (reference SelfC_model.py:102-109)."""
+        gt = np.asarray(data["GT"], np.float32)
+        t_cfg = (
+            self.opt["datasets"]["train"]["video_len"]
+            if self.opt["datasets"] and self.opt["datasets"]["train"]
+            else None
+        )
+        clip_length = gt.shape[1]
+        if t_cfg and clip_length < t_cfg:
+            pad = np.repeat(gt[:, -1:], t_cfg - clip_length, axis=1)
+            gt = np.concatenate([gt, pad], axis=1)
+        self.real_H = jax.device_put(gt, auto_batch_sharding(self.mesh, gt.shape[0]))
+        return clip_length
+
+    def optimize_parameters(self, step: int):
+        lr_value = jnp.asarray(self.lr_fn(step), jnp.float32)
+        self.rng, k = jax.random.split(self.rng)
+        self.params, self.opt_state, logs = self._jit_train_step(
+            self.params, self.opt_state, self.real_H, lr_value, k
+        )
+        self.log_dict = OrderedDict(
+            (k_, float(v)) for k_, v in logs.items()
+        )
+        self.log_dict["lr"] = float(lr_value)
+
+    def test(self, gop: int = 7):
+        """GOP-chunked eval roundtrip (reference SelfC_model.test,
+        :185-250): encode -> split -> quantize -> decode per 7-frame group,
+        last group padded by repeating the final frame."""
+        x = self.real_H
+        B, T, H, W, _ = x.shape
+        fake_H, forw_L, forw_Hf, sample_H = [], [], [], []
+        for start in range(0, T, gop):
+            idx = list(range(start, min(start + gop, T)))
+            orig = len(idx)
+            idx += [T - 1] * (gop - orig)
+            chunk = x[:, np.asarray(idx)]
+            y = self._jit_encode(self.params, chunk)
+            lr = quantize_ste(y[..., :3])
+            self.rng, k = jax.random.split(self.rng)
+            hr, hf = self._jit_decode(self.params, lr, k)
+            fake_H.append(np.asarray(hr)[:, :orig])
+            forw_L.append(np.asarray(lr)[:, :orig])
+            forw_Hf.append(np.asarray(y[..., 3:])[:, :orig])
+            sample_H.append(np.asarray(hf)[:, :orig])
+        self.fake_H = np.concatenate(fake_H, axis=1)
+        self.forw_L = np.concatenate(forw_L, axis=1)
+        self.forw_H = np.concatenate(forw_Hf, axis=1)
+        self.sample_H = np.concatenate(sample_H, axis=1)
+
+    def downscale(self, hr):
+        y = self._jit_encode(self.params, jnp.asarray(hr))
+        return np.asarray(quantize_ste(y[..., :3]))
+
+    def upscale(self, lr):
+        self.rng, k = jax.random.split(self.rng)
+        hr, _ = self._jit_decode(self.params, jnp.asarray(lr), k)
+        return np.asarray(hr)
+
+    def get_current_log(self):
+        return self.log_dict
+
+    def get_current_visuals(self):
+        out = OrderedDict()
+        out["SR"] = self.fake_H
+        out["LR"] = self.forw_L
+        out["LR_ref"] = np.asarray(self.degrade(self.real_H))
+        out["GT"] = np.asarray(self.real_H)
+        out["forw_H"] = self.forw_H
+        return out
+
+    # ------------------------------------------------------------------
+    def load(self):
+        path = (self.opt["path"] or {}).get("pretrain_model_G")
+        if path:
+            logger.info("Loading model for G [%s] ...", path)
+            block_num = tuple(self.opt["network_G"]["block_num"] or (4, 4))
+            self.params = jax.device_put(
+                ckpt.load_network(path, jax.device_get(self.params),
+                                  self._arch, block_num),
+                replicated(self.mesh),
+            )
+
+    def save(self, iter_label):
+        return ckpt.save_network(
+            self.params, self.opt["path"]["models"], iter_label
+        )
+
+    def save_training_state(self, epoch, it):
+        return ckpt.save_training_state(
+            self.opt["path"]["training_state"], epoch, it, self.opt_state
+        )
+
+    def resume_training(self, state_path: str, restore_optimizer: bool = True):
+        """NB: the reference's optimizer restore is commented out
+        (base_model.py:119-128); pass restore_optimizer=False to match."""
+        payload = ckpt.load_training_state(state_path)
+        self.start_epoch = payload["epoch"]
+        self.start_iter = payload["iter"]
+        if restore_optimizer and self.is_train:
+            self.opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+        return payload

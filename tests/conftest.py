@@ -3,7 +3,9 @@ paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment pins JAX_PLATFORMS=axon (real TPU),
+# but tests must exercise the virtual multi-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

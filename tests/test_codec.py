@@ -1,0 +1,138 @@
+"""Codec subsystem tests: segmentation padding, stream bridge, surrogate
+swap semantics, and a tiny end-to-end compression train/test roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from selfc_tpu.codec.h265 import H265Stream, NullCodec, ffmpeg_available
+from selfc_tpu.codec.pipeline import compress_video, seg_add_pad, seg_remove_pad
+from selfc_tpu.codec.surrogate import mimick_and_swap
+from selfc_tpu.config import dict_to_nonedict
+
+
+class TestSegmentation:
+    def test_pad_roundtrip(self):
+        v = np.random.default_rng(0).random((2, 7, 4, 4, 3)).astype(np.float32)
+        segs, pad = seg_add_pad(v, 3)
+        assert segs.shape == (2, 3, 3, 4, 4, 3)
+        assert pad == 2
+        # reference pads with the second-to-last frame (utils/util.py:341-342)
+        np.testing.assert_array_equal(segs[:, 2, 1], v[:, -2])
+        np.testing.assert_array_equal(segs[:, 2, 2], v[:, -2])
+        back = seg_remove_pad(segs, pad, 3)
+        np.testing.assert_array_equal(back, v)
+
+    def test_no_pad(self):
+        v = np.zeros((1, 6, 2, 2, 3), np.float32)
+        segs, pad = seg_add_pad(v, 3)
+        assert pad == 0 and segs.shape[1] == 2
+
+
+class TestStreams:
+    def test_null_codec_roundtrip(self):
+        c = NullCodec(q=17, scale_times=2)
+        c.open_writer(8, 8)
+        frames = np.random.default_rng(1).random((6, 8, 8, 3)).astype(np.float32)
+        c.write_multi_frames(frames[:3])
+        c.write_multi_frames(frames[3:])
+        bpp = c.close_writer()
+        assert bpp > 0
+        c.open_reader()
+        out = np.concatenate([c.read_multi_frames(3), c.read_multi_frames(3)])
+        np.testing.assert_allclose(out, np.round(frames * 255) / 255, atol=1e-6)
+
+    @pytest.mark.skipif(not ffmpeg_available(), reason="no ffmpeg")
+    def test_h265_stream_roundtrip(self, tmp_path):
+        s = H265Stream(q=10, keyint=12, scale_times=2, workdir=str(tmp_path))
+        s.open_writer(64, 32)
+        frames = np.tile(
+            np.linspace(0, 1, 64, dtype=np.float32)[None, None, :, None],
+            (6, 32, 1, 3),
+        )
+        s.write_multi_frames(frames)
+        bpp = s.close_writer()
+        assert bpp > 0
+        s.open_reader()
+        out = s.read_multi_frames(6)
+        s.close_reader()
+        assert out.shape == (6, 32, 64, 3)
+        assert np.mean(np.abs(out - frames)) < 0.1
+
+
+class TestSurrogateSwap:
+    def test_value_is_codec_grad_is_surrogate(self):
+        rng = np.random.default_rng(2)
+        codec = jnp.asarray(rng.random((1, 3, 4, 4, 3)), jnp.float32)
+
+        def f(w):
+            sug = w * jnp.ones((1, 3, 4, 4, 3))
+            swapped, loss = mimick_and_swap(sug, codec, 1e-5)
+            return jnp.sum(swapped ** 2), swapped
+
+        (val, swapped), grad = jax.value_and_grad(f, has_aux=True)(jnp.float32(0.3))
+        # forward value equals the codec output exactly
+        np.testing.assert_allclose(np.asarray(swapped), np.asarray(codec), atol=1e-7)
+        # gradient flows through the surrogate branch (non-zero)
+        assert abs(float(grad)) > 0
+
+
+def _tiny_codec_opt(tmp_path, data_root):
+    return dict_to_nonedict({
+        "is_train": True,
+        "model": "SelfC_GMM_Codec",
+        "distortion": "sr_bd",
+        "scale": 2,
+        "datasets": {"train": {
+            "name": "synth", "mode": "LQGTVID", "phase": "train",
+            "dataroot_GT": data_root, "dataroot_list": f"{data_root}/list.txt",
+            "video_len": 3, "use_shuffle": True, "n_workers": 1,
+            "batch_size": 1, "GT_size": 32, "use_flip": True, "use_rot": True,
+            "color": "RGB", "data_type": "img",
+        }},
+        "network_G": {
+            "which_model_G": {"subnet_type": "D2DTNet"},
+            "in_nc": 3, "out_nc": 3, "block_num": [1], "scale": 2,
+            "init": "xavier", "global_module": "nonlocal", "stp_blk_num": 2,
+            "fh_loss": "l2", "h265_q": 16, "lambda_corr": 1e-5,
+            "stp_hidden_c": 8, "stp_denseblock_innerc": 4,
+        },
+        "path": {"models": str(tmp_path / "models"),
+                 "training_state": str(tmp_path / "state")},
+        "train": {
+            "lr_G": 1e-4, "beta1": 0.9, "beta2": 0.999, "niter": 2,
+            "lr_scheme": "MultiStepLR", "lr_steps": [], "lr_gamma": 0.5,
+            "pixel_criterion_forw": "l2", "pixel_criterion_back": "l1",
+            "manual_seed": 10, "noise_type": "h265", "h265_sug": True,
+            "lambda_fit_forw": 1, "lambda_rec_back": 0.1,
+            "lambda_mimick_loss": 4, "loss_multiplier": 1000,
+            "gradient_clipping": 0.5,
+        },
+    })
+
+
+@pytest.mark.slow
+class TestCodecModelE2E:
+    def test_train_step_and_streaming_eval(self, tmp_path):
+        from selfc_tpu.train.codec_model import CodecModel
+
+        rng = np.random.default_rng(3)
+        model = CodecModel(_tiny_codec_opt(tmp_path, str(tmp_path)))
+        clip = rng.random((1, 3, 32, 32, 3)).astype(np.float32)
+        model.feed_data({"GT": clip})
+        model.optimize_parameters(1)
+        logs = model.get_current_log()
+        assert np.isfinite(logs["loss"])
+        assert "mimick_loss" in logs
+
+        # streaming eval on a longer clip (T=7 -> pads to 3 segments)
+        clip = rng.random((1, 7, 32, 32, 3)).astype(np.float32)
+        model.feed_data({"GT": clip})
+        model.test()
+        vis = model.get_current_visuals()
+        assert vis["SR"].shape == (1, 7, 32, 32, 3)
+        assert vis["LR"].shape == (1, 7, 16, 16, 3)
+        met = model.get_current_metrics()
+        assert met["video_bpp"] > 0

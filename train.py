@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Training CLI — mirrors reference codes/train.py:93-346.
+
+Usage:
+  python train.py -opt selfc_tpu/configs/train/train_rescaling_selfc_large.yml
+
+Multi-host: launch one process per host with RANK/WORLD_SIZE/MASTER_ADDR
+env vars (torch.distributed.launch convention); collectives ride ICI/DCN
+via jax.distributed + the (dp, sp) device mesh.
+"""
+
+import argparse
+import logging
+import math
+import os
+import random
+
+import numpy as np
+
+import jax
+
+from selfc_tpu import config as option
+from selfc_tpu.data import DistIterSampler, create_dataloader, create_dataset
+from selfc_tpu.eval.rescaling import cal_metric
+from selfc_tpu.parallel.mesh import init_distributed, make_mesh
+from selfc_tpu.train.rescale_model import RescaleModel
+from selfc_tpu.utils.logger import setup_logger
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True)
+    parser.add_argument("--launcher", choices=["none", "pytorch", "jax"],
+                        default="none", help="multi-host launcher convention")
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--max-iters", type=int, default=None,
+                        help="override niter (smoke runs)")
+    args = parser.parse_args()
+    opt = option.parse(args.opt, is_train=True)
+
+    if args.launcher != "none":
+        rank, world_size = init_distributed()
+    else:
+        rank, world_size = 0, 1
+    opt["dist"] = world_size > 1
+    opt["world_size"] = world_size
+
+    if rank == 0:
+        for key in ("experiments_root", "models", "training_state", "log", "val_images"):
+            if opt["path"][key]:
+                os.makedirs(opt["path"][key], exist_ok=True)
+    setup_logger("base", opt["path"]["log"], "train_" + opt["name"],
+                 level=logging.INFO, screen=rank == 0, tofile=rank == 0)
+    setup_logger("val", opt["path"]["log"], "val_" + opt["name"],
+                 level=logging.INFO, screen=rank == 0, tofile=rank == 0)
+    logger = logging.getLogger("base")
+
+    tb_logger = None
+    if rank == 0 and opt["use_tb_logger"] and "debug" not in opt["name"]:
+        try:
+            from tensorboardX import SummaryWriter
+
+            tb_logger = SummaryWriter(log_dir=os.path.join("tb_logger", opt["name"]))
+        except Exception:
+            logger.warning("tensorboardX unavailable; skipping TB logging")
+
+    seed = (opt["train"] or {}).get("manual_seed") or 10
+    random.seed(seed)
+    np.random.seed(seed)
+
+    #### resume state
+    resume_state = None
+    if opt["path"]["resume_state"]:
+        from selfc_tpu.train.checkpoint import load_training_state
+
+        resume_state = load_training_state(opt["path"]["resume_state"])
+        option.check_resume(opt, resume_state["iter"])
+
+    #### datasets (reference dataset_ratio=200 epoch math, train.py:171-182)
+    dataset_ratio = 200
+    train_loader, val_loaders, total_iters, total_epochs = None, [], 0, 0
+    for phase, dataset_opt in (opt["datasets"] or {}).items():
+        if phase == "train":
+            train_set = create_dataset(dataset_opt)
+            train_size = int(
+                math.ceil(len(train_set) / (dataset_opt["batch_size"] or 1))
+            )
+            total_iters = args.max_iters or int(opt["train"]["niter"])
+            total_epochs = int(math.ceil(total_iters / train_size))
+            sampler = None
+            if opt["dist"]:
+                sampler = DistIterSampler(len(train_set), world_size, rank, dataset_ratio)
+                total_epochs = int(
+                    math.ceil(total_iters / (train_size * dataset_ratio))
+                )
+            train_loader = create_dataloader(train_set, dataset_opt, opt, sampler)
+            logger.info(
+                "Number of train images: {:,d}, iters: {:,d}".format(
+                    len(train_set), train_size
+                )
+            )
+        elif phase.startswith("val"):
+            val_set = create_dataset(dataset_opt)
+            val_loaders.append(
+                (dataset_opt["name"], create_dataloader(val_set, dataset_opt))
+            )
+
+    assert train_loader is not None, "no train dataset in config"
+
+    #### model
+    mesh = make_mesh(sp=1)
+    model = RescaleModel(opt, mesh=mesh, rng_seed=seed)
+    if resume_state is not None:
+        model.start_epoch = resume_state["epoch"]
+        model.start_iter = resume_state["iter"]
+        model.resume_training(opt["path"]["resume_state"])
+        logger.info(
+            "Resuming training from epoch: %d, iter: %d.",
+            resume_state["epoch"], resume_state["iter"],
+        )
+
+    current_step = model.start_iter
+    best_psnr = -1.0
+    train_opt = opt["train"]
+    logger.info("Start training from epoch: %d, iter: %d",
+                model.start_epoch, current_step)
+
+    for epoch in range(model.start_epoch, total_epochs + 1):
+        if opt["dist"] and train_loader.sampler is not None:
+            train_loader.sampler.set_epoch(epoch)
+        for train_data in train_loader:
+            current_step += 1
+            if current_step > total_iters:
+                break
+            model.feed_data(train_data)
+            model.optimize_parameters(current_step)
+
+            if current_step % (opt["logger"]["print_freq"] or 100) == 0:
+                logs = model.get_current_log()
+                msg = "<epoch:{:3d}, iter:{:8,d}, lr:{:.3e}> ".format(
+                    epoch, current_step, logs.get("lr", 0.0)
+                )
+                for k, v in logs.items():
+                    if k == "lr":
+                        continue
+                    msg += "{:s}: {:.4e} ".format(k, v)
+                    if tb_logger is not None:
+                        tb_logger.add_scalar(k, v, current_step)
+                logger.info(msg)
+
+            if (
+                rank == 0
+                and current_step % int(opt["logger"]["save_checkpoint_freq"] or 2e4) == 0
+            ):
+                logger.info("Saving models and training states.")
+                model.save(current_step)
+                model.save_training_state(epoch, current_step)
+
+            if (
+                rank == 0
+                and val_loaders
+                and current_step % int(train_opt["val_freq"] or 1e4) == 0
+            ):
+                psnrs = []
+                for name, loader in val_loaders:
+                    vdir = os.path.join(opt["path"]["val_images"], name)
+                    p, s, plr, slr = cal_metric(loader, model, vdir, save_images=False)
+                    logging.getLogger("val").info(
+                        "# Validation {} # PSNR: {:.6f} SSIM: {:.6f}".format(name, p, s)
+                    )
+                    psnrs.append(p)
+                avg = sum(psnrs) / max(1, len(psnrs))
+                if tb_logger is not None:
+                    tb_logger.add_scalar("val_psnr", avg, current_step)
+                if avg > best_psnr:
+                    best_psnr = avg
+                    logger.info("New best PSNR %.4f; saving 'best'.", avg)
+                    model.save("best")
+        if current_step > total_iters:
+            break
+
+    if rank == 0:
+        logger.info("Saving the final model.")
+        model.save("latest")
+        logger.info("End of training.")
+
+
+if __name__ == "__main__":
+    main()
