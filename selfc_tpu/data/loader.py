@@ -32,6 +32,10 @@ def create_dataset(dataset_opt):
         return LQGTVIDSRDataset(dataset_opt)
     if mode == "LQGTVID_bicubic":
         return LQGTVIDBicubicDataset(dataset_opt)
+    if mode == "UVG":
+        from .uvg_dataset import UVGDataset
+
+        return UVGDataset(dataset_opt)
     raise NotImplementedError(f"dataset mode {mode!r} not recognized")
 
 

@@ -93,6 +93,11 @@ class _ConvP(nn.Module):
         if self.kind == "t":
             w = self.param("weight", wi, (3, self.c_in, self.c_out))
             b = self.param("bias", zeros_init, (self.c_out,))
+            if self.dilation == 1:
+                from ..ops.pallas_kernels import pallas_enabled, temporal_conv3_pallas
+
+                if pallas_enabled():
+                    return temporal_conv3_pallas(x, w, b)
             return temporal_conv3(x, w, b, dilation=self.dilation)
         if self.kind == "p":
             w = self.param("weight", wi, (self.c_in, self.c_out))

@@ -44,6 +44,7 @@ def define_G(opt):
             fh_loss=net["fh_loss"] or "gmm",
             gmm_k=net["gmm_k"] or 5,
             global_module=net["global_module"] or "nonlocal",
+            remat=bool(net["remat"]),
         )
     if model_type == "SelfC_GMM_Codec":
         return SelfCNetCodec(

@@ -52,6 +52,8 @@ class SelfCNetGMM(nn.Module):
     # the snapshot disables the forward conditional NLL (reference :466-468);
     # set True to restore the paper's loss_c term.
     nll_enabled: bool = False
+    # rematerialize each coupling block in the backward pass (memory saver)
+    remat: bool = False
 
     @property
     def latent_channels(self) -> int:
@@ -63,8 +65,12 @@ class SelfCNetGMM(nn.Module):
 
     def setup(self):
         ctor = subnet(self.subnet_type, self.init_mode)
+        blk_cls = (
+            nn.remat(InvBlockExp, static_argnums=(2,)) if self.remat
+            else InvBlockExp
+        )
         self.inv_blocks = [
-            InvBlockExp(self.latent_channels, 3, ctor)
+            blk_cls(self.latent_channels, 3, ctor)
             for _ in range(sum(self.block_num))
         ]
         self.stp_net = STPNet(
@@ -80,7 +86,7 @@ class SelfCNetGMM(nn.Module):
         y = freq_forward(x, self.scale)
         jac = 0.0
         for blk in self.inv_blocks:
-            y, j = blk(y)
+            y, j = blk(y, False)
             jac = jac + j
         return y, jac
 
@@ -104,7 +110,7 @@ class SelfCNetGMM(nn.Module):
         of encode up to the FrequencyAnalyzer's fixed shuffle asymmetry)."""
         y = jnp.concatenate([lr, hf], axis=-1)
         for blk in reversed(self.inv_blocks):
-            y, _ = blk(y, rev=True)
+            y, _ = blk(y, True)
         return freq_inverse(y, self.scale), y
 
     def nll(self, lr, hf):
@@ -184,7 +190,7 @@ class SelfCNetHaar(nn.Module):
         for level in range(self.down_num):
             y = haar_forward(y)
             for blk in self.level_blocks[level]:
-                y, j = blk(y)
+                y, j = blk(y, False)
                 jac = jac + j
         return y, jac
 
@@ -203,7 +209,7 @@ class SelfCNetHaar(nn.Module):
         y = jnp.concatenate([lr, hf], axis=-1)
         for level in reversed(range(self.down_num)):
             for blk in reversed(self.level_blocks[level]):
-                y, _ = blk(y, rev=True)
+                y, _ = blk(y, True)
             y = haar_inverse(y)
         return y, hf
 
@@ -288,7 +294,7 @@ class SelfCNetCodec(nn.Module):
         y = freq_forward(x, self.scale)
         jac = 0.0
         for blk in self.inv_blocks:
-            y, j = blk(y)
+            y, j = blk(y, False)
             jac = jac + j
         return y, jac
 
@@ -305,13 +311,13 @@ class SelfCNetCodec(nn.Module):
         hf = self._sample_hf(params)
         y = jnp.concatenate([lr, hf], axis=-1)
         for blk in reversed(self.inv_blocks):
-            y, _ = blk(y, rev=True)
+            y, _ = blk(y, True)
         return freq_inverse(y, self.scale), hf
 
     def decode_with_hf(self, lr, hf):
         y = jnp.concatenate([lr, hf], axis=-1)
         for blk in reversed(self.inv_blocks):
-            y, _ = blk(y, rev=True)
+            y, _ = blk(y, True)
         return freq_inverse(y, self.scale), y
 
     def roundtrip(self, x):
@@ -360,7 +366,7 @@ class InvRescaleNet(nn.Module):
         for level in range(self.down_num):
             y = haar_forward(y)
             for blk in self.level_blocks[level]:
-                y, j = blk(y)
+                y, j = blk(y, False)
                 jac = jac + j
         return y, jac
 
@@ -371,7 +377,7 @@ class InvRescaleNet(nn.Module):
         y = jnp.concatenate([lr, hf], axis=-1)
         for level in reversed(range(self.down_num)):
             for blk in reversed(self.level_blocks[level]):
-                y, _ = blk(y, rev=True)
+                y, _ = blk(y, True)
             y = haar_inverse(y)
         return y, None
 
