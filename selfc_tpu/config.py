@@ -81,5 +81,5 @@ def check_resume(opt, resume_iter):
     (reference options.py:105-119)."""
     if opt["path"]["resume_state"]:
         opt["path"]["pretrain_model_G"] = osp.join(
-            opt["path"]["models"], f"{resume_iter}_G"
+            opt["path"]["models"], f"{resume_iter}_G.msgpack"
         )

@@ -181,11 +181,22 @@ class CodecModel:
 
     def _train_step(self, params, opt_state, hr, codec_out, lr_value, rng, q_value):
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
-        (_, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
+        (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, codec_out, rng, q_value
         )
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p - lr_value * u, params, updates)
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr_value * u, params, updates
+        )
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+        )
+        logs = dict(logs)
+        logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return params, opt_state, logs
 
     def _encode(self, params, x):

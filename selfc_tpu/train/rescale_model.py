@@ -154,11 +154,24 @@ class RescaleModel:
 
     def _train_step(self, params, opt_state, hr, lr_value, rng):
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
-        (_, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
+        (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, rng
         )
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p - lr_value * u, params, updates)
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr_value * u, params, updates
+        )
+        # skip the update entirely on a non-finite loss (the reference has
+        # no such guard; a blown-up coupling exp() would poison the run)
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+        )
+        logs = dict(logs)
+        logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return params, opt_state, logs
 
     def _encode(self, params, x):
@@ -170,6 +183,8 @@ class RescaleModel:
             {"params": params}, lr, method=self.net.decode,
             rngs={"sample": rng},
         )
+        if hf is None:  # IRN samples uniform HF and returns no latents
+            hf = jnp.zeros_like(lr)
         return hr, hf
 
     # ------------------------------------------------------------------

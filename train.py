@@ -14,6 +14,7 @@ import logging
 import math
 import os
 import random
+import signal
 
 import numpy as np
 
@@ -125,6 +126,18 @@ def main():
     logger.info("Start training from epoch: %d, iter: %d",
                 model.start_epoch, current_step)
 
+    # preemption-safe checkpointing: SIGTERM/SIGINT save state then exit
+    # (the reference had no elastic/preemption handling; SURVEY.md §5)
+    stop_requested = {"flag": False}
+
+    def _graceful(signum, frame):
+        stop_requested["flag"] = True
+        logger.warning("signal %d received; will checkpoint and stop.", signum)
+
+    if rank == 0:
+        signal.signal(signal.SIGTERM, _graceful)
+        signal.signal(signal.SIGINT, _graceful)
+
     for epoch in range(model.start_epoch, total_epochs + 1):
         if opt["dist"] and train_loader.sampler is not None:
             train_loader.sampler.set_epoch(epoch)
@@ -132,6 +145,11 @@ def main():
             current_step += 1
             if current_step > total_iters:
                 break
+            if stop_requested["flag"]:
+                logger.info("Checkpointing at iter %d before shutdown.", current_step)
+                model.save(current_step)
+                model.save_training_state(epoch, current_step)
+                return
             model.feed_data(train_data)
             model.optimize_parameters(current_step)
 
