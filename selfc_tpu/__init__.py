@@ -17,3 +17,20 @@ H.265 codec), built on:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SELFC_TPU_CACHE", "1") != "0":
+    # Persistent XLA compilation cache: full-model (and especially grad)
+    # compiles take minutes; cache them across processes. Opt out with
+    # SELFC_TPU_CACHE=0, relocate with SELFC_TPU_CACHE_DIR.
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("SELFC_TPU_CACHE_DIR", "/tmp/selfc_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
