@@ -74,6 +74,11 @@ class LQGTVIDDataset:
                 aug["rnd_w"] : aug["rnd_w"] + gt_size,
             ]
             img = util.augment(img, aug["hflip"], aug["vflip"], aug["rot90"])
+        elif self.opt["use_multi_scale"]:
+            # test-time 0.5x multi-scale mode (reference
+            # LQGTVID_dataset.py:135-146 / :44-47)
+            H, W, _ = img.shape
+            img = cv2.resize(img, (W // 2, H // 2), interpolation=cv2.INTER_LINEAR)
         return np.ascontiguousarray(util.bgr2rgb(img))
 
     def __getitem__(self, index):

@@ -47,3 +47,15 @@ def tensor2img(img, min_max=(0, 1)):
 def save_img(img_bgr_u8, path):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     cv2.imwrite(path, img_bgr_u8)
+
+
+def tensor2heatmap(x, min_max=None):
+    """Single-channel map (H, W) -> BGR uint8 jet heatmap (the reference's
+    matplotlib-based tensor2heatmap, utils/util.py:148-179, via cv2)."""
+    a = np.asarray(x, np.float32)
+    if a.ndim == 3:
+        a = a.mean(axis=-1)
+    lo, hi = (float(a.min()), float(a.max())) if min_max is None else min_max
+    a = (a - lo) / max(hi - lo, 1e-12)
+    u8 = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+    return cv2.applyColorMap(u8, cv2.COLORMAP_JET)

@@ -9,6 +9,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# the axon TPU plugin can win over the env var; force the platform too
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: model compiles dominate test time on the
 # single-core CPU host; cache them across test processes/runs. (The env-var
