@@ -39,9 +39,38 @@ def init_distributed():
     return jax.process_index(), jax.process_count()
 
 
+def _all_devices():
+    try:
+        devs = jax.devices()
+    except RuntimeError as e:
+        # the 'axon' platform alias occasionally fails to resolve even
+        # though the plugin registered (as 'tpu'); fall back to default
+        # platform discovery once — LOUDLY, because this can silently
+        # degrade to CPU if the TPU tunnel is held by another process.
+        if "not in the list of known backends" in str(e):
+            jax.config.update("jax_platforms", None)
+            devs = jax.devices()
+        else:
+            raise
+    import logging
+
+    logging.getLogger("base").info(
+        "JAX backend: %s, devices: %s", jax.default_backend(), devs
+    )
+    if jax.default_backend() == "cpu" and os.environ.get("JAX_PLATFORMS") not in (
+        None, "", "cpu",
+    ):
+        logging.getLogger("base").warning(
+            "Requested platform %r but running on CPU — the TPU may be held "
+            "by another process; performance will be degraded.",
+            os.environ.get("JAX_PLATFORMS"),
+        )
+    return devs
+
+
 def make_mesh(dp: int | None = None, sp: int = 1, devices=None) -> Mesh:
     """(dp, sp) mesh over all devices; dp defaults to n_devices // sp."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    devices = np.asarray(devices if devices is not None else _all_devices())
     n = devices.size
     if dp is None:
         dp = n // sp

@@ -58,6 +58,7 @@ class CodecModel:
         self.surrogate = H265Surrogate(dynamic_q=isinstance(self.q, list))
 
         self.rng = jax.random.PRNGKey(rng_seed)
+        self.rng, self._step_key = jax.random.split(self.rng)
         self.params = self._init_params()
         self.log_dict = OrderedDict()
         self.start_iter = 0
@@ -179,7 +180,8 @@ class CodecModel:
             "loss": loss,
         }
 
-    def _train_step(self, params, opt_state, hr, codec_out, lr_value, rng, q_value):
+    def _train_step(self, params, opt_state, hr, codec_out, lr_value, step, q_value):
+        rng = jax.random.fold_in(self._step_key, step)
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
         (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, codec_out, rng, q_value
@@ -221,8 +223,7 @@ class CodecModel:
         return gt.shape[1]
 
     def optimize_parameters(self, step: int):
-        lr_value = jnp.asarray(self.lr_fn(step), jnp.float32)
-        self.rng, k = jax.random.split(self.rng)
+        lr_value = self.lr_fn(step)
         q = self.q
         if isinstance(q, list):
             q = random.randint(q[0], q[1])
@@ -237,11 +238,12 @@ class CodecModel:
                 self._jit_encode_lf(self.params, self.real_H)
             )
         self.params, self.opt_state, logs = self._jit_train_step(
-            self.params, self.opt_state, self.real_H, codec_out, lr_value, k,
+            self.params, self.opt_state, self.real_H, codec_out,
+            jnp.asarray(lr_value, jnp.float32), jnp.asarray(step, jnp.int32),
             jnp.float32(q),
         )
-        self.log_dict = OrderedDict((k_, float(v)) for k_, v in logs.items())
-        self.log_dict["lr"] = float(lr_value)
+        self._raw_logs = logs
+        self._raw_logs_lr = lr_value
 
     def test(self):
         """Streaming roundtrip through the (real or stand-in) codec."""
@@ -268,6 +270,12 @@ class CodecModel:
         self.video_distor_loss = 0.0
 
     def get_current_log(self):
+        if getattr(self, "_raw_logs", None) is not None:
+            self.log_dict = OrderedDict(
+                (k_, float(v)) for k_, v in self._raw_logs.items()
+            )
+            self.log_dict["lr"] = float(self._raw_logs_lr)
+            self._raw_logs = None
         return self.log_dict
 
     def get_current_metrics(self):

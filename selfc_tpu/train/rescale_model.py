@@ -57,6 +57,7 @@ class RescaleModel:
         }.get(opt["model"], "gmm")
 
         self.rng = jax.random.PRNGKey(rng_seed)
+        self.rng, self._step_key = jax.random.split(self.rng)
         self.params = self._init_params()
         self.log_dict = OrderedDict()
         self.start_iter = 0
@@ -152,7 +153,9 @@ class RescaleModel:
         }
         return loss, logs
 
-    def _train_step(self, params, opt_state, hr, lr_value, rng):
+    def _train_step(self, params, opt_state, hr, lr_value, step):
+        # derive the step RNG on device: no host-side key churn per step
+        rng = jax.random.fold_in(self._step_key, step)
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
         (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, rng
@@ -208,15 +211,14 @@ class RescaleModel:
         return clip_length
 
     def optimize_parameters(self, step: int):
-        lr_value = jnp.asarray(self.lr_fn(step), jnp.float32)
-        self.rng, k = jax.random.split(self.rng)
+        lr_value = self.lr_fn(step)
         self.params, self.opt_state, logs = self._jit_train_step(
-            self.params, self.opt_state, self.real_H, lr_value, k
+            self.params, self.opt_state, self.real_H,
+            jnp.asarray(lr_value, jnp.float32), jnp.asarray(step, jnp.int32),
         )
-        self.log_dict = OrderedDict(
-            (k_, float(v)) for k_, v in logs.items()
-        )
-        self.log_dict["lr"] = float(lr_value)
+        # keep logs on device; get_current_log() syncs only when printing
+        self._raw_logs = logs
+        self._raw_logs_lr = lr_value
 
     def test(self, gop: int = 7):
         """GOP-chunked eval roundtrip (reference SelfC_model.test,
@@ -253,6 +255,12 @@ class RescaleModel:
         return np.asarray(hr)
 
     def get_current_log(self):
+        if getattr(self, "_raw_logs", None) is not None:
+            self.log_dict = OrderedDict(
+                (k_, float(v)) for k_, v in self._raw_logs.items()
+            )
+            self.log_dict["lr"] = float(self._raw_logs_lr)
+            self._raw_logs = None
         return self.log_dict
 
     def get_current_visuals(self):
