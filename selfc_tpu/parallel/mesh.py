@@ -48,6 +48,14 @@ def _all_devices():
         # platform discovery once — LOUDLY, because this can silently
         # degrade to CPU if the TPU tunnel is held by another process.
         if "not in the list of known backends" in str(e):
+            import logging
+
+            logging.getLogger("base").warning(
+                "platform resolution failed (%s); retrying with default "
+                "discovery. If a TPU was expected, check that PYTHONPATH "
+                "still includes the PJRT registration hook "
+                "(e.g. /root/.axon_site).", e,
+            )
             jax.config.update("jax_platforms", None)
             devs = jax.devices()
         else:
