@@ -107,6 +107,12 @@ class MESpynet(nn.Module):
 
     @nn.compact
     def __call__(self, im1, im2):
+        min_side = 2 ** self.levels
+        if im1.shape[1] < min_side or im1.shape[2] < min_side:
+            raise ValueError(
+                f"MESpynet needs H,W >= {min_side} for {self.levels} pyramid "
+                f"levels; got {im1.shape[1:3]}"
+            )
         modules = [MEBasic(name=f"modelL{i + 1}") for i in range(self.levels)]
         im1s, im2s = [im1], [im2]
         for _ in range(self.levels - 1):
