@@ -301,7 +301,26 @@ class CodecModel:
             logger.info("Loading model for G [%s] ...", path)
             block_num = tuple(self.net_opt["block_num"] or (4,))
             host = jax.device_get(self.params)
-            host["net"] = ckpt.load_network(path, host["net"], "codec", block_num)
+            if path.endswith(".pth"):
+                # reference checkpoint: net-only keys (surrogate keys are
+                # skipped on load, matching base_model.py:94-95)
+                host["net"] = ckpt.load_network(
+                    path, host["net"], "codec", block_num
+                )
+            else:
+                # our msgpack checkpoints carry the full {net[, surrogate]}
+                # tree; merge the subtrees the template actually has (a
+                # surrogate trained into the ckpt is dropped at eval time,
+                # mirroring the reference's skip of surrogate keys)
+                from flax import serialization
+
+                with open(path, "rb") as f:
+                    raw = serialization.msgpack_restore(f.read())
+                if "net" in raw:
+                    raw = {k: v for k, v in raw.items() if k in host}
+                    host = ckpt._merge(host, raw)
+                else:  # a bare net tree
+                    host["net"] = ckpt._merge(host["net"], raw)
             self.params = jax.device_put(host, replicated(self.mesh))
 
     def save(self, iter_label):
