@@ -36,6 +36,14 @@ def create_dataset(dataset_opt):
         from .uvg_dataset import UVGDataset
 
         return UVGDataset(dataset_opt)
+    if mode == "LQ":
+        from .image_datasets import LQDataset
+
+        return LQDataset(dataset_opt)
+    if mode == "LQGT":
+        from .image_datasets import LQGTDataset
+
+        return LQGTDataset(dataset_opt)
     raise NotImplementedError(f"dataset mode {mode!r} not recognized")
 
 

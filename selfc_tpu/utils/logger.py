@@ -49,6 +49,53 @@ def save_img(img_bgr_u8, path):
     cv2.imwrite(path, img_bgr_u8)
 
 
+class ProgressBar:
+    """Terminal progress reporter (reference utils/util.py:278-325)."""
+
+    def __init__(self, task_num: int = 0, bar_width: int = 40, start=True):
+        import time as _t
+
+        self.task_num = task_num
+        self.bar_width = bar_width
+        self.completed = 0
+        self._time = _t
+        if start:
+            self.start()
+
+    def start(self):
+        import sys
+
+        if self.task_num > 0:
+            sys.stdout.write(
+                f"[{' ' * self.bar_width}] 0/{self.task_num}, elapsed: 0s\n"
+            )
+        sys.stdout.flush()
+        self.start_time = self._time.time()
+
+    def update(self, msg: str = "In progress..."):
+        import sys
+
+        self.completed += 1
+        elapsed = max(self._time.time() - self.start_time, 1e-9)
+        fps = self.completed / elapsed
+        if self.task_num > 0:
+            pct = self.completed / float(self.task_num)
+            eta = int(elapsed * (1 - pct) / max(pct, 1e-9) + 0.5)
+            marks = int(self.bar_width * pct)
+            bar = ">" * marks + "-" * (self.bar_width - marks)
+            sys.stdout.write(
+                f"\r[{bar}] {self.completed}/{self.task_num}, "
+                f"{fps:.1f} task/s, elapsed: {int(elapsed + .5)}s, "
+                f"ETA: {eta:5d}s  {msg}"
+            )
+        else:
+            sys.stdout.write(
+                f"\rcompleted: {self.completed}, elapsed: "
+                f"{int(elapsed + .5)}s, {fps:.1f} tasks/s"
+            )
+        sys.stdout.flush()
+
+
 def tensor2heatmap(x, min_max=None):
     """Single-channel map (H, W) -> BGR uint8 jet heatmap (the reference's
     matplotlib-based tensor2heatmap, utils/util.py:148-179, via cv2)."""
