@@ -41,7 +41,8 @@ class CodecModel:
         self.net_opt = opt["network_G"]
         self.scale = opt["scale"]
         self.net = define_G(opt)
-        self.mesh = mesh if mesh is not None else make_mesh(sp=1)
+        self.mesh = mesh if mesh is not None else make_mesh(sp=opt["mesh_sp"] or 1)
+        self._spatial_axis = 3 if self.mesh.shape["sp"] > 1 else None
         self.degrade = make_degrade(opt["distortion"] or "sr_bd", self.scale)
 
         self.q = self.net_opt["h265_q"]
@@ -219,7 +220,9 @@ class CodecModel:
     # ------------------------------------------------------------------
     def feed_data(self, data):
         gt = np.asarray(data["GT"], np.float32)
-        self.real_H = jax.device_put(gt, auto_batch_sharding(self.mesh, gt.shape[0]))
+        self.real_H = jax.device_put(
+            gt, auto_batch_sharding(self.mesh, gt.shape[0], self._spatial_axis)
+        )
         return gt.shape[1]
 
     def optimize_parameters(self, step: int):

@@ -47,7 +47,10 @@ class RescaleModel:
         self.train_opt = opt["train"] or {}
         self.scale = opt["scale"]
         self.net = define_G(opt)
-        self.mesh = mesh if mesh is not None else make_mesh(sp=1)
+        # mesh_sp > 1 shards image width across chips (XLA SPMD inserts the
+        # conv halo exchanges); batch stays on dp.
+        self.mesh = mesh if mesh is not None else make_mesh(sp=opt["mesh_sp"] or 1)
+        self._spatial_axis = 3 if self.mesh.shape["sp"] > 1 else None
         self.degrade = make_degrade(opt["distortion"] or "sr_bd", self.scale)
         self._arch = {
             "SelfC_GMM": "gmm",
@@ -207,7 +210,9 @@ class RescaleModel:
         if t_cfg and clip_length < t_cfg:
             pad = np.repeat(gt[:, -1:], t_cfg - clip_length, axis=1)
             gt = np.concatenate([gt, pad], axis=1)
-        self.real_H = jax.device_put(gt, auto_batch_sharding(self.mesh, gt.shape[0]))
+        self.real_H = jax.device_put(
+            gt, auto_batch_sharding(self.mesh, gt.shape[0], self._spatial_axis)
+        )
         return clip_length
 
     def optimize_parameters(self, step: int):

@@ -109,7 +109,7 @@ def main():
     assert train_loader is not None, "no train dataset in config"
 
     #### model
-    mesh = make_mesh(sp=1)
+    mesh = make_mesh(sp=opt["mesh_sp"] or 1)
     model = RescaleModel(opt, mesh=mesh, rng_seed=seed)
     if resume_state is not None:
         model.start_epoch = resume_state["epoch"]
