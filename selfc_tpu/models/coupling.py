@@ -22,6 +22,43 @@ import jax
 import jax.numpy as jnp
 
 
+class ScannedCouplingChain(nn.Module):
+    """The whole coupling chain as ONE ``nn.scan`` over stacked block
+    params: the chain traces/compiles once instead of once per block
+    (8 blocks => ~8x less HLO for the hot path). The reverse direction
+    shares the same stacked params through a ``map_variables`` axis flip.
+
+    Param layout: ``blocks/...`` with a leading length-N stacking axis —
+    convert per-block trees with utils/torch_import.stack_block_params.
+    """
+
+    channel_num: int
+    channel_split_num: int
+    subnet_ctor: Callable[..., Any]
+    n_blocks: int
+
+    @nn.compact
+    def __call__(self, x, rev: bool = False):
+        Scan = nn.scan(
+            InvBlockExp,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.n_blocks,
+            in_axes=(nn.broadcast,),
+        )
+        args = (self.channel_num, self.channel_split_num, self.subnet_ctor)
+        if not rev:
+            y, jacs = Scan(*args, name="blocks")(x, False)
+        else:
+            flip = lambda vs: jax.tree.map(lambda a: a[::-1], vs)  # noqa: E731
+            Rev = nn.map_variables(
+                Scan, "params", trans_in_fn=flip, trans_out_fn=flip,
+                mutable=True,
+            )
+            y, jacs = Rev(*args, name="blocks")(x, True)
+        return y, jnp.sum(jacs)
+
+
 class InvBlockExp(nn.Module):
     channel_num: int
     channel_split_num: int

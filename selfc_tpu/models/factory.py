@@ -45,6 +45,7 @@ def define_G(opt):
             gmm_k=net["gmm_k"] or 5,
             global_module=net["global_module"] or "nonlocal",
             remat=bool(net["remat"]),
+            scan_blocks=bool(net["scan_blocks"]),
         )
     if model_type == "SelfC_GMM_Codec":
         return SelfCNetCodec(

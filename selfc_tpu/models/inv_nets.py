@@ -34,7 +34,7 @@ from ..ops.haar import haar_forward, haar_inverse
 from ..ops.quantize import quantize_ste
 from .blocks import D2DT, subnet
 from .agg import GroupedGlobalDeformAgg
-from .coupling import InvBlockExp
+from .coupling import InvBlockExp, ScannedCouplingChain
 from .stp import STPNet, STPNetSmall
 
 
@@ -54,6 +54,10 @@ class SelfCNetGMM(nn.Module):
     nll_enabled: bool = False
     # rematerialize each coupling block in the backward pass (memory saver)
     remat: bool = False
+    # compile the coupling chain as one lax.scan over stacked block params
+    # (big compile-time cut; param layout changes to blocks/... stacked —
+    # convert existing trees with utils.torch_import.stack_block_params)
+    scan_blocks: bool = False
 
     @property
     def latent_channels(self) -> int:
@@ -65,14 +69,20 @@ class SelfCNetGMM(nn.Module):
 
     def setup(self):
         ctor = subnet(self.subnet_type, self.init_mode)
-        blk_cls = (
-            nn.remat(InvBlockExp, static_argnums=(2,)) if self.remat
-            else InvBlockExp
-        )
-        self.inv_blocks = [
-            blk_cls(self.latent_channels, 3, ctor)
-            for _ in range(sum(self.block_num))
-        ]
+        if self.scan_blocks:
+            self.scan_chain = ScannedCouplingChain(
+                self.latent_channels, 3, ctor, sum(self.block_num)
+            )
+            self.inv_blocks = []
+        else:
+            blk_cls = (
+                nn.remat(InvBlockExp, static_argnums=(2,)) if self.remat
+                else InvBlockExp
+            )
+            self.inv_blocks = [
+                blk_cls(self.latent_channels, 3, ctor)
+                for _ in range(sum(self.block_num))
+            ]
         self.stp_net = STPNet(
             scale=self.scale,
             stp_blk_num=self.stp_blk_num,
@@ -84,6 +94,8 @@ class SelfCNetGMM(nn.Module):
     def encode(self, x):
         """HR (B,T,H,W,3) -> latent (B,T,H/s,W/s,3*(s^2+1)), log_jac."""
         y = freq_forward(x, self.scale)
+        if self.scan_blocks:
+            return self.scan_chain(y, False)
         jac = 0.0
         for blk in self.inv_blocks:
             y, j = blk(y, False)
@@ -109,8 +121,11 @@ class SelfCNetGMM(nn.Module):
         """Invert the coupling chain with given HF latents (exact inverse
         of encode up to the FrequencyAnalyzer's fixed shuffle asymmetry)."""
         y = jnp.concatenate([lr, hf], axis=-1)
-        for blk in reversed(self.inv_blocks):
-            y, _ = blk(y, True)
+        if self.scan_blocks:
+            y, _ = self.scan_chain(y, True)
+        else:
+            for blk in reversed(self.inv_blocks):
+                y, _ = blk(y, True)
         return freq_inverse(y, self.scale), y
 
     def nll(self, lr, hf):

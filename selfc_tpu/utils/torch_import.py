@@ -139,6 +139,18 @@ def import_state_dict(state_dict, arch: str, block_num=(4, 4)) -> dict:
     return tree
 
 
+def stack_block_params(params: dict, n_blocks: int) -> dict:
+    """Convert per-block ``inv_blocks_{i}`` param trees into the stacked
+    ``scan_chain/blocks`` layout used by scan_blocks=True models."""
+    import jax
+
+    blocks = [params[f"inv_blocks_{i}"] for i in range(n_blocks)]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+    out = {k: v for k, v in params.items() if not k.startswith("inv_blocks_")}
+    out["scan_chain"] = {"blocks": stacked}
+    return out
+
+
 def load_pth(path: str, arch: str, block_num=(4, 4)) -> dict:
     import torch
 
