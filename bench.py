@@ -1,10 +1,20 @@
 #!/usr/bin/env python
 """Benchmark: frames/sec/chip for the flagship SelfC-GMM 4x rescaling
 roundtrip (encode -> quantize -> prior-sample -> decode) at Vid4 'city'
-resolution (1 x 7 x 576 x 704 x 3).
+resolution (1 x 7 x 576 x 704 x 3), bf16 activations.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": x}
+
+HONEST TIMING NOTE (round 2): ``jax.block_until_ready`` does NOT block on
+the experimental axon platform — round-1 numbers timed with it were
+invalid (they implied >10x the chip's peak FLOP/s). This bench instead
+chains N data-dependent roundtrips inside ONE jit (each step's HR output
+feeds the next step's input) and forces completion with a scalar readback;
+the per-step time is the slope between two chain lengths, which also
+cancels the ~30 ms tunnel dispatch/readback latency. Cross-checked against
+a known-FLOPs 4096^3 bf16 matmul measured the same way (~108 TFLOP/s on a
+v5e whose bf16 peak is ~197 — physically sane).
 
 vs_baseline compares against the reference PyTorch implementation run on
 CPU for the identical workload. Because the torch-CPU measurement is slow,
@@ -19,6 +29,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -27,39 +38,63 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
-def bench_tpu(reps: int = 3) -> float:
+def timed_chain(fn_step, x0, n1=4, n2=12, reps=3):
+    """sec/step for ``x -> fn_step(x)`` via the slope method.
+
+    Chains n data-dependent steps inside one jit and reads back a scalar;
+    (T(n2)-T(n1))/(n2-n1) removes the fixed dispatch+readback overhead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(x, n):
+        def body(i, x):
+            return fn_step(x)
+        out = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(out[..., 0, 0, :].astype(jnp.float32))
+
+    float(chain(x0, n1))  # compile + warmup
+    float(chain(x0, n2))
+
+    def run(n):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(x0, n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_tpu(reps: int = 3, dtype_name: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
 
     from selfc_tpu.models.inv_nets import SelfCNetGMM
 
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     net = SelfCNetGMM()
-    x = jnp.asarray(np.random.default_rng(0).random(SHAPE), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).random(SHAPE), dtype)
     variables = net.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        x[:, :, :96, :96], method=net.roundtrip,
+        x[:, :, :96, :96].astype(jnp.float32), method=net.roundtrip,
     )
     params = variables["params"]
-
-    @jax.jit
-    def step(params, x, key):
-        out = net.apply(
-            {"params": params}, x, method=net.roundtrip, rngs={"sample": key}
-        )
-        return out["hr"], out["lr"]
-
     key = jax.random.PRNGKey(2)
-    hr, lr = step(params, x, key)
-    jax.block_until_ready(hr)  # compile + warmup
-    # median over timed windows: host jitter on the tunneled chip is large
-    times = []
-    for w in range(max(3, reps)):
-        t0 = time.perf_counter()
-        for i in range(5):
-            hr, lr = step(params, x, jax.random.fold_in(key, w * 5 + i))
-        jax.block_until_ready(hr)
-        times.append((time.perf_counter() - t0) / 5)
-    dt = sorted(times)[len(times) // 2]
+
+    def step(xin):
+        # params are fp32 masters; cast once per step inside jit
+        p = jax.tree.map(lambda a: a.astype(dtype), params)
+        out = net.apply(
+            {"params": p}, xin, method=net.roundtrip, rngs={"sample": key}
+        )
+        # clip keeps the fed-back video in-range across chained steps
+        return jnp.clip(out["hr"], 0.0, 1.0)
+
+    dt = timed_chain(step, x, reps=reps)
     frames = SHAPE[0] * SHAPE[1]
     return frames / dt
 
@@ -109,6 +144,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--make-baseline", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     if args.make_baseline:
@@ -118,7 +155,7 @@ def main():
         print(json.dumps({"torch_cpu_fps": fps}))
         return
 
-    fps = bench_tpu(args.reps)
+    fps = bench_tpu(args.reps, args.dtype)
     vs = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

@@ -64,6 +64,14 @@ def _w_init(mode: str, layer: str):
     raise ValueError(mode)
 
 
+_KIND_SHAPES = {
+    "s": lambda ci, co: (3, 3, ci, co),
+    "f": lambda ci, co: (3, 3, 3, ci, co),
+    "t": lambda ci, co: (3, ci, co),
+    "p": lambda ci, co: (ci, co),
+}
+
+
 class _ConvP(nn.Module):
     """One conv parameter pair with a given kernel flavor.
 
@@ -77,22 +85,28 @@ class _ConvP(nn.Module):
     w_init: object = None
     dilation: int = 1
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         wi = self.w_init if self.w_init is not None else xavier_normal(1.0)
+        self.w = self.param(
+            "weight", wi, _KIND_SHAPES[self.kind](self.c_in, self.c_out)
+        )
+        self.b = self.param("bias", zeros_init, (self.c_out,))
+
+    def weights(self):
+        """Raw (w, b) — lets DenseChain route them into the fused kernel."""
+        return self.w, self.b
+
+    def __call__(self, x):
+        # activations dictate the compute dtype: fp32 master params cast
+        # down when the caller runs the net in bf16
+        w, b = self.w.astype(x.dtype), self.b.astype(x.dtype)
         if self.kind == "s":
-            w = self.param("weight", wi, (3, 3, self.c_in, self.c_out))
-            b = self.param("bias", zeros_init, (self.c_out,))
             if x.ndim == 5:
                 return spatial_conv_video(x, w, b)
             return conv2d(x, w, b)
         if self.kind == "f":
-            w = self.param("weight", wi, (3, 3, 3, self.c_in, self.c_out))
-            b = self.param("bias", zeros_init, (self.c_out,))
             return conv3d(x, w, b)
         if self.kind == "t":
-            w = self.param("weight", wi, (3, self.c_in, self.c_out))
-            b = self.param("bias", zeros_init, (self.c_out,))
             if self.dilation == 1:
                 from ..ops.pallas_kernels import pallas_enabled, temporal_conv3_pallas
 
@@ -100,8 +114,6 @@ class _ConvP(nn.Module):
                     return temporal_conv3_pallas(x, w, b)
             return temporal_conv3(x, w, b, dilation=self.dilation)
         if self.kind == "p":
-            w = self.param("weight", wi, (self.c_in, self.c_out))
-            b = self.param("bias", zeros_init, (self.c_out,))
             return pointwise(x, w, b)
         raise ValueError(self.kind)
 
@@ -124,30 +136,67 @@ class DenseChain(nn.Module):
         grow = _w_init(self.init_mode, "grow")
         proj = _w_init(self.init_mode, "proj")
         cin, gc, km = self.c_in, self.gc, self.kmid
-        x1 = leaky_relu(_ConvP(cin, gc, self.k1, grow, name="conv1")(x))
-        if self.early_3d:
-            x1 = x1 + _ConvP(gc, gc, "f", zeros_init, name="early_3d_layer")(x1)
-        x2 = leaky_relu(
-            _ConvP(cin + gc, gc, km, grow, name="conv2")(
-                jnp.concatenate([x, x1], -1)
-            )
-        )
-        x3 = leaky_relu(
-            _ConvP(cin + 2 * gc, gc, km, grow, name="conv3")(
-                jnp.concatenate([x, x1, x2], -1)
-            )
-        )
-        x4 = leaky_relu(
-            _ConvP(cin + 3 * gc, gc, km, grow, name="conv4")(
-                jnp.concatenate([x, x1, x2, x3], -1)
-            )
-        )
-        x5 = _ConvP(cin + 4 * gc, self.c_out, self.k5, proj, name="conv5")(
-            jnp.concatenate([x, x1, x2, x3, x4], -1)
-        )
+        convs = [
+            _ConvP(cin + i * gc, gc, self.k1 if i == 0 else km, grow,
+                   name=f"conv{i + 1}")
+            for i in range(4)
+        ]
+        conv5 = _ConvP(cin + 4 * gc, self.c_out, self.k5, proj, name="conv5")
+
+        if self._fused_ok(x):
+            x5 = self._fused(x, convs, conv5)
+        else:
+            x1 = leaky_relu(convs[0](x))
+            if self.early_3d:
+                x1 = x1 + _ConvP(gc, gc, "f", zeros_init,
+                                 name="early_3d_layer")(x1)
+            x2 = leaky_relu(convs[1](jnp.concatenate([x, x1], -1)))
+            x3 = leaky_relu(convs[2](jnp.concatenate([x, x1, x2], -1)))
+            x4 = leaky_relu(convs[3](jnp.concatenate([x, x1, x2, x3], -1)))
+            x5 = conv5(jnp.concatenate([x, x1, x2, x3, x4], -1))
         if self.is_res:
             x5 = x5 + x
         return x5
+
+    def _fused_ok(self, x) -> bool:
+        from ..ops.pallas_chain import chain_fused_enabled, chain_shapes_ok
+
+        return (
+            self.k1 == "s"
+            and self.kmid == "s"
+            and self.gc == 32
+            and not self.early_3d
+            and x.ndim in (4, 5)
+            and chain_fused_enabled()
+            and chain_shapes_ok(x.shape[-3], x.shape[-2], x.shape[-1])
+        )
+
+    def _fused(self, x, convs, conv5):
+        """Pallas-fused spatial chain + concat-free conv5 on (x, x1..x4)."""
+        from ..ops.pallas_chain import fused_dense_spatial
+
+        squeeze = x.ndim == 4
+        xv = x[:, None] if squeeze else x  # (N,H,W,C) -> (N,1,H,W,C)
+        ws, bs = zip(*(c.weights() for c in convs))
+        x1234 = fused_dense_spatial(xv, tuple(ws), tuple(bs))
+        w5, b5 = conv5.weights()
+        w5 = w5.astype(x.dtype)
+        b5 = b5.astype(x.dtype)
+        cin = self.c_in
+        if self.k5 == "t":
+            y = (temporal_conv3(xv, w5[:, :cin], None,
+                                dilation=conv5.dilation)
+                 + temporal_conv3(x1234, w5[:, cin:], b5,
+                                  dilation=conv5.dilation))
+        elif self.k5 == "s":
+            y = (spatial_conv_video(xv, w5[:, :, :cin], None)
+                 + spatial_conv_video(x1234, w5[:, :, cin:], b5))
+        elif self.k5 == "p":
+            y = pointwise(xv, w5[:cin], None) + pointwise(x1234, w5[cin:], b5)
+        else:  # 'f'
+            y = (conv3d(xv, w5[:, :, :, :cin], None)
+                 + conv3d(x1234, w5[:, :, :, cin:], b5))
+        return y[:, 0] if squeeze else y
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,229 @@
+"""Fused Pallas kernel for the 5-conv dense chain (the INN hot loop).
+
+The reference's hot path is DenseBlock/D2DTInput: four growing 3x3 convs
+with LeakyReLU + one temporal (3,1,1) projection, chained through channel
+concats (Subnet_constructor.py:98-133). On TPU the XLA lowering of this
+chain is memory-bound: every conv materializes its input concat and its
+32-channel output in HBM, and the small channel counts (3..179) leave most
+of each MXU tile empty.
+
+This kernel computes the four spatial convs for one (frame, row-tile) in a
+single fused pass:
+
+* the growing concat lives in ONE VMEM work buffer: input x at lanes
+  [0, X) (X = C rounded up to 32), conv outputs x1..x4 appended at
+  32-lane-aligned offsets — each conv's input is one contiguous K-slice
+  and no concat ever touches HBM;
+* each 3x3 conv runs as THREE MXU dots (one per kernel row dy, input
+  row-shifted — row shifts on the untiled dim are free) that accumulate in
+  fp32; the three kernel columns dx are N-packed into one 96-lane output,
+  leaving only three cheap shifted adds on the VPU. Measured against the
+  alternatives on a v5e: ~2.3x faster than a 9-tap output-side N-pack
+  (whose 9 lane-rotations dominate) and ~1.5-1.7x faster than the best
+  XLA formulation;
+* bias + LeakyReLU fuse on the fp32 accumulator before the result is
+  written back to the work buffer;
+* row tiles overlap by the chain's receptive field (4 rows each side) via
+  ``pl.Element`` windows, so intermediate activations never leave VMEM.
+
+The temporal conv5 runs outside (it needs cross-T context; it is already
+matmul-shaped) on the (x, x1..x4) pair without materializing their concat.
+
+Gradients: the kernel is forward-only; ``fused_dense_spatial`` carries a
+``jax.custom_vjp`` whose backward re-derives the chain through the XLA
+formulation (rematerialization — no extra residuals are saved).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GC = 32  # chain growth per conv — fixed across every reference block family
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def chain_fused_enabled() -> bool:
+    """Fused chain is ON by default on TPU; SELFC_TPU_PALLAS=0 disables,
+    =1 forces (interpret mode off-TPU, used by tests)."""
+    flag = os.environ.get("SELFC_TPU_PALLAS", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pick_tile_h(H: int) -> int | None:
+    for th in (12, 8, 16, 24, 6, 32, 4):
+        if H % th == 0:
+            return th
+    return None
+
+
+def chain_shapes_ok(H: int, W: int, C: int) -> bool:
+    th = _pick_tile_h(H)
+    if th is None or W % 16 != 0:
+        return False
+    wp = _round_up(W + 2, 16)
+    X = _round_up(C, GC)
+    # VMEM budget: work buffer + fp32 dx-packed partial + double-buffered
+    # x window + output block
+    work = (th + 8) * wp * _round_up(X + 4 * GC, 128) * 2
+    part = (th + 6) * wp * 128 * 4
+    xwin = 2 * (th + 8) * wp * _round_up(X, 128) * 2
+    outb = 2 * th * wp * 128 * 2
+    return work + part + xwin + outb < 13 * 2 ** 20
+
+
+def _prep_weight(w, C: int, X: int):
+    """(3, 3, Cin, GC) HWIO -> (3 dy, X + (Cin - C), 3*GC): kernel rows dy
+    stay a separate axis (they ride MXU accumulation over row-shifted
+    inputs); kernel columns dx pack into the 96-lane output; zero rows pad
+    the x segment from C to X so conv inputs stay lane-aligned."""
+    Cin = w.shape[2]
+    wt = jnp.transpose(w, (0, 2, 1, 3)).reshape(3, Cin, 3 * GC)
+    if X == C:
+        return wt
+    pad = jnp.zeros((3, X - C, 3 * GC), w.dtype)
+    return jnp.concatenate([wt[:, :C], pad, wt[:, C:]], axis=1)
+
+
+def _chain_kernel(x_ref, w1, w2, w3, w4, b_ref, o_ref, work,
+                  *, TH, W, WP, X, H, slope):
+    i_tile = pl.program_id(1)
+    f32 = jnp.float32
+    w_refs = (w1, w2, w3, w4)
+
+    # x (already zero-padded to X lanes + halo rows/cols in XLA) fills
+    # lanes [0, X); only the halo columns of the conv-output lanes need
+    # explicit zeroing (scratch is stale across grid instances)
+    work[:, :, :X] = x_ref[0]
+    work[:, 0:1, X:] = jnp.zeros((TH + 8, 1, 4 * GC), work.dtype)
+    work[:, W + 1:WP, X:] = jnp.zeros((TH + 8, WP - W - 1, 4 * GC),
+                                      work.dtype)
+
+    for i in range(1, 5):
+        kin = X + GC * (i - 1)
+        ri0 = i - 1                      # first input row of this conv
+        ro0, ro1 = i, TH + 8 - i         # rows its output covers
+        r_out = ro1 - ro0
+        w = w_refs[i - 1]
+        # dy-sum on the MXU: three row-shifted input dots accumulate in f32
+        part = None
+        for dy in range(3):
+            inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                r_out * WP, kin
+            )
+            d = jax.lax.dot_general(
+                inp, w[dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            part = d if part is None else part + d
+        part = part.reshape(r_out, WP, 3 * GC)
+        acc = jnp.broadcast_to(b_ref[i - 1].astype(f32), (r_out, W, GC))
+        for dx in range(3):
+            acc = acc + part[:, dx:dx + W, GC * dx:GC * (dx + 1)]
+        acc = jnp.where(acc >= 0, acc, slope * acc)
+        # zero rows that fall outside the image (the chain's SAME padding
+        # means x_i is zero there, not lrelu(bias))
+        h0 = i_tile * TH + i - 4  # global h of this conv's first output row
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
+        acc = jnp.where((rr >= 0) & (rr < H), acc, 0.0)
+        work[ro0:ro1, 1:W + 1, X + GC * (i - 1):X + GC * i] = (
+            acc.astype(work.dtype)
+        )
+
+    o_ref[0] = work[4:TH + 4, 1:W + 1, X:X + 4 * GC]
+
+
+def _pallas_impl(x, ws, bs):
+    """x: (B,T,H,W,C); ws: 4x (3,3,Cin_i,GC); bs: 4x (GC,).
+    Returns the concat (B,T,H,W,4*GC) of the four conv outputs."""
+    B, T, H, W, C = x.shape
+    TH = _pick_tile_h(H)
+    X = _round_up(C, GC)
+    WP = _round_up(W + 2, 16)
+    BT = B * T
+
+    xp = jnp.pad(
+        x.reshape(BT, H, W, C),
+        ((0, 0), (4, 4), (1, WP - W - 1), (0, X - C)),
+    )
+    wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
+    bss = jnp.stack([b.astype(jnp.float32) for b in bs])  # (4, GC)
+
+    kernel = partial(
+        _chain_kernel, TH=TH, W=W, WP=WP, X=X, H=H, slope=0.2
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(BT, H // TH),
+        out_shape=jax.ShapeDtypeStruct((BT, H, W, 4 * GC), x.dtype),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(TH + 8), pl.Element(WP),
+                 pl.Element(X)),
+                lambda bt, i: (bt, i * TH, 0, 0),
+            ),
+            *[
+                pl.BlockSpec((3, X + GC * k, 3 * GC), lambda bt, i: (0, 0, 0))
+                for k in range(4)
+            ],
+            pl.BlockSpec((4, GC), lambda bt, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, 4 * GC), lambda bt, i: (bt, i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, WP, X + 4 * GC), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *wps, bss)
+    return out.reshape(B, T, H, W, 4 * GC)
+
+
+def _xla_impl(x, ws, bs):
+    """Reference XLA formulation of the same spatial chain (shift-mode
+    convs); used by the custom VJP backward and as the numerical oracle."""
+    from .conv import conv3x3_shift, leaky_relu
+
+    feats = x
+    outs = []
+    for w, b in zip(ws, bs):
+        y = leaky_relu(
+            conv3x3_shift(feats, w.astype(x.dtype), b.astype(x.dtype))
+        )
+        outs.append(y)
+        feats = jnp.concatenate([feats, y], axis=-1)
+    return jnp.concatenate(outs, axis=-1)
+
+
+@jax.custom_vjp
+def fused_dense_spatial(x, ws, bs):
+    return _pallas_impl(x, ws, bs)
+
+
+def _fds_fwd(x, ws, bs):
+    return _pallas_impl(x, ws, bs), (x, ws, bs)
+
+
+def _fds_bwd(res, g):
+    x, ws, bs = res
+    _, vjp = jax.vjp(_xla_impl, x, ws, bs)
+    return vjp(g)
+
+
+fused_dense_spatial.defvjp(_fds_fwd, _fds_bwd)

@@ -14,9 +14,12 @@ import jax.numpy as jnp
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def quantize_ste(x, quant_v: float = 255.0, is_clip: bool = True):
+    # the 255-level rounding itself runs in fp32: bf16's 8 mantissa bits
+    # would perturb the quantization boundaries by up to half a level.
+    xq = x.astype(jnp.float32)
     if is_clip:
-        x = jnp.clip(x, 0.0, 1.0)
-    return jnp.round(x * quant_v) / quant_v
+        xq = jnp.clip(xq, 0.0, 1.0)
+    return (jnp.round(xq * quant_v) / quant_v).astype(x.dtype)
 
 
 def _fwd(x, quant_v, is_clip):

@@ -58,8 +58,8 @@ def adaptive_avg_pool2d(x, out_hw):
     """x: (..., H, W, C) -> (..., out_h, out_w, C), torch-exact."""
     *_, H, W, C = x.shape
     oh, ow = out_hw
-    mh = jnp.asarray(_adaptive_matrix(H, oh))
-    mw = jnp.asarray(_adaptive_matrix(W, ow))
+    mh = jnp.asarray(_adaptive_matrix(H, oh), x.dtype)
+    mw = jnp.asarray(_adaptive_matrix(W, ow), x.dtype)
     y = jnp.einsum("oh,...hwc->...owc", mh, x)
     return jnp.einsum("pw,...owc->...opc", mw, y)
 
@@ -105,8 +105,8 @@ def gaussian_downsample(x, scale: int = 4):
     mw = np.zeros((Wo, xp.shape[2]), np.float32)
     for i in range(Wo):
         mw[i, i * scale : i * scale + 13] = w1d
-    y = jnp.einsum("oh,nhwc->nowc", jnp.asarray(mh), xp)
-    y = jnp.einsum("pw,nowc->nopc", jnp.asarray(mw), y)
+    y = jnp.einsum("oh,nhwc->nowc", jnp.asarray(mh, x.dtype), xp)
+    y = jnp.einsum("pw,nowc->nopc", jnp.asarray(mw, x.dtype), y)
     y = y[:, 2:-2, 2:-2, :]
     return y.reshape(*lead, y.shape[1], y.shape[2], C)
 
@@ -159,7 +159,7 @@ def imresize_matlab(x, scale: float):
     """MATLAB-compatible bicubic resize of (..., H, W, C)."""
     *_, H, W, C = x.shape
     oh, ow = int(H * scale), int(W * scale)
-    mh = jnp.asarray(_matlab_weights(H, oh, scale))
-    mw = jnp.asarray(_matlab_weights(W, ow, scale))
+    mh = jnp.asarray(_matlab_weights(H, oh, scale), x.dtype)
+    mw = jnp.asarray(_matlab_weights(W, ow, scale), x.dtype)
     y = jnp.einsum("oh,...hwc->...owc", mh, x)
     return jnp.einsum("pw,...owc->...opc", mw, y)

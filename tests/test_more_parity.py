@@ -19,18 +19,11 @@ HAS_REF = os.path.isdir(REF)
 
 
 def _install_ref_stubs():
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvo = types.ModuleType("torchvision.ops")
-        tvo.deform_conv2d = lambda *a, **k: None
-        tv.ops = tvo
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tvo
-    for m in ("skvideo", "skvideo.io"):
-        sys.modules.setdefault(m, types.ModuleType(m))
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    torch.cuda.FloatTensor = torch.FloatTensor
+    # shared conftest installer — keeps one complete torchvision stub
+    # regardless of which test file loads the reference first
+    from conftest import install_reference_stubs
+
+    install_reference_stubs()
 
 
 class TestPthFileImport:

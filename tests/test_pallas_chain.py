@@ -1,0 +1,96 @@
+"""Fused Pallas dense-chain kernel vs the XLA formulation.
+
+Runs in interpreter mode on the CPU mesh (SELFC_TPU_PALLAS=1 forces the
+fused path off-TPU). Covers the kernel directly, the custom-VJP gradients,
+and the integrated DenseChain fused/unfused equivalence incl. edge-tile
+masking (H spanning multiple row tiles).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selfc_tpu.models.blocks import D2DT, DenseBlock2D
+from selfc_tpu.ops.pallas_chain import (
+    _pallas_impl,
+    _xla_impl,
+    chain_shapes_ok,
+    fused_dense_spatial,
+)
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas(monkeypatch):
+    monkeypatch.setenv("SELFC_TPU_PALLAS", "1")
+
+
+def _mk_chain(rng, C):
+    ws = tuple(
+        jnp.asarray(rng.normal(0, 0.1, (3, 3, C + 32 * i, 32)), jnp.float32)
+        for i in range(4)
+    )
+    bs = tuple(
+        jnp.asarray(rng.normal(0, 0.1, (32,)), jnp.float32) for _ in range(4)
+    )
+    return ws, bs
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (1, 2, 24, 32, 3),   # multi-tile H -> exercises halo/edge masking
+        (1, 2, 24, 32, 48),
+        (2, 1, 16, 32, 64),
+        (1, 1, 12, 16, 51),  # unaligned C -> zero-row padding path
+    ],
+)
+def test_kernel_matches_xla(shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    ws, bs = _mk_chain(rng, shape[-1])
+    ref = _xla_impl(x, ws, bs)
+    out = _pallas_impl(x, ws, bs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_custom_vjp_matches_xla_grads():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 1, 12, 16, 3)), jnp.float32)
+    ws, bs = _mk_chain(rng, 3)
+
+    def loss_f(x, ws, bs):
+        return jnp.sum(fused_dense_spatial(x, ws, bs) ** 2)
+
+    def loss_r(x, ws, bs):
+        return jnp.sum(_xla_impl(x, ws, bs) ** 2)
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(x, ws, bs)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, ws, bs)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_dense_chain_module_fused_equals_unfused():
+    rng = np.random.default_rng(2)
+    for cls, shape, cin, cout in [
+        (D2DT, (1, 2, 24, 32, 3), 3, 48),
+        (D2DT, (1, 2, 12, 16, 64), 64, 64),
+        (DenseBlock2D, (3, 24, 32, 48), 48, 3),  # 4-D image path
+    ]:
+        x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+        m = cls(cin, cout)
+        v = m.init(jax.random.PRNGKey(0), x)
+        os.environ["SELFC_TPU_PALLAS"] = "0"
+        y0 = m.apply(v, x)
+        os.environ["SELFC_TPU_PALLAS"] = "1"
+        y1 = m.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+
+
+def test_shape_gate():
+    assert chain_shapes_ok(144, 176, 51)
+    assert not chain_shapes_ok(145, 176, 51)  # H with no usable tile
+    assert not chain_shapes_ok(144, 177, 51)  # W not 16-aligned

@@ -26,29 +26,14 @@ pytestmark = pytest.mark.skipif(
 
 
 def _install_ref_stubs():
-    """Stub the reference's unavailable native deps (torchvision, skvideo)."""
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvo = types.ModuleType("torchvision.ops")
+    """Stub the reference's unavailable native deps (torchvision, skvideo).
 
-        def _no_deform(*a, **k):
-            raise RuntimeError("deform_conv2d not exercised in these tests")
+    Delegates to the shared conftest installer so every test file sees the
+    SAME (complete) torchvision stub regardless of import order.
+    """
+    from conftest import install_reference_stubs
 
-        tvo.deform_conv2d = _no_deform
-        tv.ops = tvo
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tvo
-    if "skvideo" not in sys.modules:
-        sk = types.ModuleType("skvideo")
-        ski = types.ModuleType("skvideo.io")
-        sk.io = ski
-        sys.modules["skvideo"] = sk
-        sys.modules["skvideo.io"] = ski
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    # the reference draws CUDA-global noise (SelfC_GMM_arch_inv.py:414);
-    # run it on CPU for ground truth
-    torch.cuda.FloatTensor = torch.FloatTensor
+    install_reference_stubs()
 
 
 @pytest.fixture(scope="module")
