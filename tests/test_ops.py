@@ -203,3 +203,39 @@ class TestQuantize:
         # identity backward: d/dx sum(q(x)^2) -> 2*q(x)
         q = np.round(np.clip([0.4, 2.0], 0, 1) * 255) / 255
         np.testing.assert_allclose(np.asarray(g), 2 * q, rtol=1e-6)
+
+
+class TestFreqFastPath:
+    """The einsum/matmul freq formulation must match the original
+    repeat/subtract/shuffle composition exactly (both k=2 codec and k=4
+    rescaling, incl. the deliberate fwd/rev shuffle-order asymmetry)."""
+
+    def test_forward_matches_reference_composition(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from selfc_tpu.ops.freq import freq_forward, _freq_forward_ref
+
+        rng = np.random.default_rng(0)
+        for k in (2, 4):
+            x = jnp.asarray(rng.normal(0, 1, (2, 3, 16, 24, 3)), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(freq_forward(x, k)),
+                np.asarray(_freq_forward_ref(x, k)),
+                atol=1e-5,
+            )
+
+    def test_inverse_matches_reference_composition(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from selfc_tpu.ops.freq import freq_inverse, _freq_inverse_ref
+
+        rng = np.random.default_rng(1)
+        for k in (2, 4):
+            y = jnp.asarray(
+                rng.normal(0, 1, (2, 3, 8, 12, 3 * (k * k + 1))), jnp.float32
+            )
+            np.testing.assert_allclose(
+                np.asarray(freq_inverse(y, k)),
+                np.asarray(_freq_inverse_ref(y, k)),
+                atol=1e-5,
+            )
