@@ -71,31 +71,37 @@ class H265Surrogate(nn.Module):
 
 
 def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
-                        h265_all_default: bool = False) -> np.ndarray:
-    """Host-side codec roundtrip: (B,T,h,w,3) float [0,1] -> decoded.
+                        h265_all_default: bool = False):
+    """Host-side codec roundtrip: (B,T,h,w,3) float [0,1] ->
+    (decoded, mean_bpp).
 
     Runs BETWEEN the jitted encode and loss steps — the axon TPU runtime
-    does not support host callbacks inside jit, so the training graph is
-    split at the codec (same structure as the reference's blocking
+    does not support host callbacks inside jit (verified: axon_pjrt
+    raises UNIMPLEMENTED for io_callback/pure_callback), so the training
+    graph is split at the codec (same structure as the reference's blocking
     mid-forward ffmpeg call, Quantization_video_compression.py:9-91).
     Falls back to 8-bit quantization when ffmpeg is absent, and to the
     input itself if the codec returns short (reference
-    SelfC_Codec_arch_inv.py:473-476)."""
+    SelfC_Codec_arch_inv.py:473-476). The measured bpp feeds the train-time
+    rate logging (reference logs img_bpp, SelfC_Codec_model.py:174)."""
     lr = np.asarray(lr)
     B, T = lr.shape[:2]
     outs = []
+    bpps = []
     for b in range(B):
         if ffmpeg_available():
-            dec, _ = encode_decode_clip(
+            dec, bpp = encode_decode_clip(
                 np.clip(lr[b], 0, 1), int(q), keyint, scale_times,
                 h265_all_default,
             )
             if dec.shape[0] < T:
                 dec = np.clip(lr[b], 0, 1)
+            bpps.append(bpp)
         else:
             dec = (np.clip(lr[b], 0, 1) * 255.0).round() / 255.0
+            bpps.append(0.0)
         outs.append(dec.astype(np.float32))
-    return np.stack(outs, axis=0)
+    return np.stack(outs, axis=0), float(np.mean(bpps))
 
 
 def mimick_and_swap(sug, codec_out, lambda_corr: float):

@@ -7,7 +7,11 @@ schema) and returns an un-initialized flax module.
 
 from __future__ import annotations
 
+import logging
+
 from .inv_nets import InvRescaleNet, SelfCNetCodec, SelfCNetGMM, SelfCNetHaar
+
+logger = logging.getLogger("base")
 
 
 def define_G(opt):
@@ -35,6 +39,19 @@ def define_G(opt):
             condition_func=net["condition_func"] or "D2DTNet",
         )
     if model_type in ("SelfC_GMM", "SelfC_SR", "SelfC_Contra_UP"):
+        # The reference snapshot hard-disables the forward conditional NLL
+        # (SelfC_GMM_arch_inv.py:466-468: loss_c = out.mean()*0) even though
+        # the train yml sets lambda_cond_prob. Default matches the snapshot;
+        # set network_G.nll_enabled: true to restore the paper's loss_c.
+        nll_enabled = bool(net["nll_enabled"])
+        lam_cond = (opt["train"] or {}).get("lambda_cond_prob") if opt["train"] else None
+        if lam_cond and not nll_enabled:
+            logger.warning(
+                "train.lambda_cond_prob=%s is set but network_G.nll_enabled "
+                "is false: the forward conditional NLL (loss_c) is hard-zero, "
+                "matching the reference snapshot (SelfC_GMM_arch_inv.py:468). "
+                "Set network_G.nll_enabled: true to activate it.", lam_cond,
+            )
         return SelfCNetGMM(
             scale=scale,
             block_num=block_num,
@@ -44,6 +61,7 @@ def define_G(opt):
             fh_loss=net["fh_loss"] or "gmm",
             gmm_k=net["gmm_k"] or 5,
             global_module=net["global_module"] or "nonlocal",
+            nll_enabled=nll_enabled,
             remat=bool(net["remat"]),
             scan_blocks=bool(net["scan_blocks"]),
         )

@@ -112,6 +112,10 @@ class CodecModel:
         )
         self.tx = optax.chain(*chain)
         self.opt_state = self.tx.init(self.params)
+        self._clear_state_steps = (
+            tuple(int(r) for r in (to["restarts"] or []))
+            if to["clear_state"] else ()
+        )
         self.lr_fn = multistep_restart(
             to["lr_G"] or 1e-4,
             to["lr_steps"] or [],
@@ -173,16 +177,34 @@ class CodecModel:
         loss = (l_forw_fit + l_back_rec + loss_c + mimick_term) * (
             to["loss_multiplier"] or 1000.0
         )
+        # train-time rate/distortion diagnostics (the reference logs
+        # distribution_loss/img_bpp as hard zeros, SelfC_Codec_model.py:
+        # 170-174; we log the *measured* codec distortion instead — the
+        # formula the reference carries commented out at
+        # SelfC_Codec_arch_inv.py:438-441)
+        distortion = (to["lambda_distor_loss"] or 1.0) * jnp.mean(
+            (jax.lax.stop_gradient(codec_out) - jax.lax.stop_gradient(lr_q))
+            ** 2
+        )
         return loss, {
             "l_forw_fit": l_forw_fit,
             "l_back_rec": l_back_rec,
             "loss_c": loss_c,
             "mimick_loss": mimick_term,
+            "distortion_loss": distortion,
+            "distribution_loss": jnp.zeros(()),
             "loss": loss,
         }
 
     def _train_step(self, params, opt_state, hr, codec_out, lr_value, step, q_value):
         rng = jax.random.fold_in(self._step_key, step)
+        if self._clear_state_steps:
+            # reference lr_scheduler.py:21-29 (train.clear_state)
+            at_restart = jnp.isin(step, jnp.asarray(self._clear_state_steps))
+            fresh = self.tx.init(params)
+            opt_state = jax.tree.map(
+                lambda f, o: jnp.where(at_restart, f, o), fresh, opt_state
+            )
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
         (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, codec_out, rng, q_value
@@ -231,11 +253,13 @@ class CodecModel:
         if isinstance(q, list):
             q = random.randint(q[0], q[1])
         # split-at-codec: jit encode half -> host codec -> jit loss+update
+        img_bpp = 0.0
         if self.noise_type == "h265":
             lr_q = np.asarray(self._jit_encode_lf(self.params, self.real_H))
-            codec_out = jnp.asarray(
-                h265_host_roundtrip(lr_q, q, self._h265_keyint, self.scale)
+            codec_np, img_bpp = h265_host_roundtrip(
+                lr_q, q, self._h265_keyint, self.scale
             )
+            codec_out = jnp.asarray(codec_np)
         else:
             codec_out = jnp.zeros_like(
                 self._jit_encode_lf(self.params, self.real_H)
@@ -247,6 +271,7 @@ class CodecModel:
         )
         self._raw_logs = logs
         self._raw_logs_lr = lr_value
+        self._raw_logs_bpp = img_bpp
 
     def test(self):
         """Streaming roundtrip through the (real or stand-in) codec."""
@@ -278,6 +303,11 @@ class CodecModel:
                 (k_, float(v)) for k_, v in self._raw_logs.items()
             )
             self.log_dict["lr"] = float(self._raw_logs_lr)
+            # measured rate of the host codec span this step (reference
+            # logs img_bpp, SelfC_Codec_model.py:174 — there a hard zero)
+            self.log_dict["img_bpp"] = float(
+                getattr(self, "_raw_logs_bpp", 0.0)
+            )
             self._raw_logs = None
         return self.log_dict
 

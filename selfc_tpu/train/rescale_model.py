@@ -108,6 +108,12 @@ class RescaleModel:
         )
         self.tx = optax.chain(*chain)
         self.opt_state = self.tx.init(self.params)
+        # reference MultiStepLR_Restart clears Adam moments at restart
+        # milestones when train.clear_state is set (lr_scheduler.py:21-29)
+        self._clear_state_steps = (
+            tuple(int(r) for r in (to["restarts"] or []))
+            if to["clear_state"] else ()
+        )
         base_lr = to["lr_G"] or 1e-4
         if (to["lr_scheme"] or "MultiStepLR") == "MultiStepLR":
             self.lr_fn = multistep_restart(
@@ -159,6 +165,14 @@ class RescaleModel:
     def _train_step(self, params, opt_state, hr, lr_value, step):
         # derive the step RNG on device: no host-side key churn per step
         rng = jax.random.fold_in(self._step_key, step)
+        if self._clear_state_steps:
+            # clear optimizer state at LR-restart milestones
+            # (reference lr_scheduler.py:21-29, train.clear_state)
+            at_restart = jnp.isin(step, jnp.asarray(self._clear_state_steps))
+            fresh = self.tx.init(params)
+            opt_state = jax.tree.map(
+                lambda f, o: jnp.where(at_restart, f, o), fresh, opt_state
+            )
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
         (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, rng

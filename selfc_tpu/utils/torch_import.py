@@ -60,6 +60,20 @@ def _map_globalagg(rest: str):
     return [_GLOBALAGG_FIELDS[rest]]
 
 
+_DEFORM_AGG_FIELDS = {
+    "global_context_reallocator.0.weight": "realloc1_w",
+    "global_context_reallocator.0.bias": "realloc1_b",
+    "global_context_reallocator.2.weight": "realloc2_w",
+    "global_context_reallocator.2.bias": "realloc2_b",
+    "offset_conv.weight": "offset_w",
+    "offset_conv.bias": "offset_b",
+    "modulator_conv.weight": "modulator_w",
+    "modulator_conv.bias": "modulator_b",
+    "regular_conv.weight": "regular_w",
+    "regular_conv.bias": "regular_b",
+}
+
+
 def _map_dense(rest: str):
     # "conv3.weight" -> ["chain", "conv3", "weight"]
     conv, leaf = rest.split(".")
@@ -123,7 +137,10 @@ def map_reference_key(key: str, arch: str, block_num=(4, 4)):
         n, rest = int(m.group(1)), m.group(2)
         if rest.startswith("conv"):
             return [f"deart_{n}"] + _map_dense(rest)
-        return None  # GroupedGlobalDeformAgg import: phase 2
+        # GroupedGlobalDeformAgg (reference SelfC_Codec_arch_inv.py:134-185)
+        if rest in _DEFORM_AGG_FIELDS:
+            return [f"deart_{n}", _DEFORM_AGG_FIELDS[rest]]
+        raise KeyError(f"unmapped deart_net key: {key}")
     raise KeyError(f"unmapped reference key: {key}")
 
 
