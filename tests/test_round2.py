@@ -3,6 +3,7 @@ silently dead), MultiStepLR restart optimizer-state clearing, and the
 deart-net (GroupedGlobalDeformAgg) checkpoint import path."""
 
 import logging
+import os
 
 import numpy as np
 import pytest
@@ -102,6 +103,80 @@ class TestClearState:
             assert count == 1  # fresh state + the restart step's update
         else:
             assert count == 3
+
+
+_DIST_CHILD = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+sys.path.insert(0, os.environ["SELFC_REPO"])
+from selfc_tpu.parallel.mesh import init_distributed
+
+pi, pc = init_distributed()  # reads RANK/WORLD_SIZE/MASTER_ADDR/MASTER_PORT
+assert pc == 2, pc
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devs = np.asarray(jax.devices())
+assert devs.size == 2, devs  # one CPU device per process, globally visible
+mesh = Mesh(devs, ("dp",))
+world = np.arange(2 * 4, dtype=np.float32).reshape(2, 4)
+local = world[pi : pi + 1]
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("dp")), local, global_shape=(2, 4)
+)
+total = jax.jit(jnp.sum)(arr)  # cross-process all-reduce
+assert float(total) == float(world.sum()), float(total)
+print("DIST_OK", pi, pc, flush=True)
+"""
+
+
+class TestMultiHostInit:
+    def test_two_process_cpu_init_distributed(self, tmp_path):
+        """init_distributed maps torch-launcher env (RANK/WORLD_SIZE/
+        MASTER_*) onto jax.distributed.initialize; two CPU processes form
+        one 2-device world and all-reduce across it (the reference's NCCL
+        init_dist equivalent, train.py:19-27)."""
+        import socket
+        import subprocess
+        import sys as _sys
+
+        child = tmp_path / "dist_child.py"
+        child.write_text(_DIST_CHILD)
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = []
+        for rank in range(2):
+            env = dict(os.environ)
+            env.update({
+                "RANK": str(rank), "WORLD_SIZE": "2",
+                "MASTER_ADDR": "127.0.0.1", "MASTER_PORT": str(port),
+                "SELFC_REPO": repo, "JAX_PLATFORMS": "cpu",
+                # a fresh XLA_FLAGS: the parent's virtual-8-device flag
+                # would give each process 8 local devices
+                "XLA_FLAGS": "",
+                # drop the axon PJRT site hook: it initializes the backend
+                # at interpreter start, before jax.distributed.initialize
+                "PYTHONPATH": repo,
+            })
+            procs.append(subprocess.Popen(
+                [_sys.executable, str(child)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+            assert f"DIST_OK {rank} 2" in out, out
 
 
 class TestDeartImport:
