@@ -94,6 +94,97 @@ class LQGTVIDDataset:
         return {"GT": clip, "LQ_path": frames[0], "GT_path": frames[0]}
 
 
+def _elastic_deform_np(img: np.ndarray, rng: np.random.Generator,
+                       sigma: float = 12.0, points: int = 3) -> np.ndarray:
+    """Random-grid elastic deformation of one (H, W, C) frame — numpy/scipy
+    equivalent of elasticdeform.deform_random_grid(axis=(0,1), sigma=12,
+    points=3) used by the reference Aug dataset
+    (LQGTVID_Aug_dataset.py:115-116): a points x points displacement grid
+    drawn N(0, sigma) per axis, spline-upsampled to full resolution, then
+    cubic resampling of the image at the displaced coordinates."""
+    from scipy.interpolate import RectBivariateSpline
+    from scipy.ndimage import map_coordinates
+
+    H, W, C = img.shape
+    disp = rng.normal(0.0, sigma, (2, points, points))
+    k = min(3, points - 1)
+    grid = np.arange(points, dtype=np.float64)
+    gy = np.linspace(0, points - 1, H)
+    gx = np.linspace(0, points - 1, W)
+    dy = RectBivariateSpline(grid, grid, disp[0], kx=k, ky=k)(gy, gx)
+    dx = RectBivariateSpline(grid, grid, disp[1], kx=k, ky=k)(gy, gx)
+    yy, xx = np.meshgrid(
+        np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64),
+        indexing="ij",
+    )
+    coords = np.stack([yy + dy, xx + dx])
+    out = np.stack(
+        [
+            map_coordinates(img[..., c], coords, order=3, mode="reflect")
+            for c in range(C)
+        ],
+        axis=-1,
+    )
+    return out.astype(img.dtype, copy=False)
+
+
+class LQGTVIDAugDataset(LQGTVIDDataset):
+    """Augmentation-heavy variant (reference LQGTVID_Aug_dataset.py):
+
+    * optional per-clip elastic deformation (``use_elastic_deform``; flag
+      shared per clip, a fresh random grid per frame, matching the
+      reference's per-frame deform_random_grid call :115-116);
+    * ``use_multi_scale`` accepts the reference's random-scale list — NB in
+      the reference the drawn ``random_scale`` is never applied in
+      read_img (dead value, :60 vs :68-121), so it has no pixel effect
+      here either;
+    * temporal rules (:149-167): test = all frames; train T=5 = random
+      monotone 5 of the first 7; train T=7 = all frames.
+    """
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.np_rng = np.random.default_rng(self.rng.randint(0, 2**31 - 1))
+
+    def _select_frames(self, frames):
+        if not self.is_train:
+            return frames
+        n = len(frames)
+        if self.video_len == 5 and n >= 7:
+            # reference draws monotone indices inside the first 7 frames
+            bounds = [(0, 2), (None, 3), (None, 4), (None, 5), (None, 6)]
+            idx = []
+            lo = 0
+            for lo_fixed, hi in bounds:
+                lo = lo_fixed if lo_fixed is not None else lo
+                i = self.rng.randint(lo, hi)
+                idx.append(i)
+                lo = i + 1
+            return [frames[i] for i in idx]
+        if self.video_len == 7:
+            return frames
+        return super()._select_frames(frames)
+
+    def _gen_aug(self, H, W, gt_size):
+        aug = super()._gen_aug(H, W, gt_size)
+        aug["elastic"] = (
+            bool(self.opt["use_elastic_deform"]) and self.rng.random() < 0.5
+        )
+        if self.opt["use_multi_scale"]:
+            # drawn for parity with the reference's gen_aug_params (:60);
+            # the reference never applies it (dead value)
+            aug["random_scale"] = self.rng.choice(
+                [0.6, 0.8, 1, 1.2, 1.4, 1.6, 1.8, 2]
+            )
+        return aug
+
+    def _read_frame(self, path, aug, gt_size):
+        img = super()._read_frame(path, aug, gt_size)
+        if self.is_train and aug.get("elastic"):
+            img = _elastic_deform_np(img, self.np_rng)
+        return img
+
+
 class LQGTVIDConsecutiveDataset(LQGTVIDDataset):
     """reference LQGTVID_Conseutive_dataset.py: test = all frames; train
     T=5 fixed indices 1..5."""

@@ -15,6 +15,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from .datasets import (
+    LQGTVIDAugDataset,
     LQGTVIDBicubicDataset,
     LQGTVIDConsecutiveDataset,
     LQGTVIDDataset,
@@ -26,6 +27,8 @@ def create_dataset(dataset_opt):
     mode = dataset_opt["mode"]
     if mode == "LQGTVID":
         return LQGTVIDDataset(dataset_opt)
+    if mode == "LQGTVID_Aug":
+        return LQGTVIDAugDataset(dataset_opt)
     if mode in ("LQGTVID_Conseutive", "LQGTVID_Consecutive"):
         return LQGTVIDConsecutiveDataset(dataset_opt)
     if mode == "LQGTVID_SR":
@@ -139,8 +142,91 @@ class DataLoader:
             stop.set()
 
 
+def _proc_worker_main(dataset, task_q, res_q, seed):
+    """Worker loop for ProcessDataLoader (module-level for spawn)."""
+    import random as _random
+
+    r = getattr(dataset, "rng", None)
+    if isinstance(r, _random.Random):
+        r.seed(seed)
+    if getattr(dataset, "np_rng", None) is not None:
+        dataset.np_rng = np.random.default_rng(seed)
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        bi, batch_idx = task
+        try:
+            res_q.put((bi, _collate([dataset[i] for i in batch_idx])))
+        except Exception as e:  # surface worker errors to the consumer
+            res_q.put((bi, e))
+
+
+class ProcessDataLoader(DataLoader):
+    """Process-based loader: PNG decode + augmentation run in separate
+    processes so they never contend with the main process's GIL/dispatch
+    (the thread-pool loader is GIL-bound on cv2 decode). Batches are
+    re-ordered to the deterministic index order. Equivalent of the
+    reference's torch DataLoader worker processes (data/__init__.py:16-19).
+    """
+
+    def __iter__(self):
+        import multiprocessing as mp
+
+        self._epoch += 1
+        indices = self._indices()
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        if not batches:
+            return
+
+        # spawn: never fork a process that may hold XLA/jax state
+        ctx = mp.get_context("spawn")
+        task_q = ctx.Queue()
+        res_q = ctx.Queue(maxsize=2 * self.num_workers)
+        for task in enumerate(batches):
+            task_q.put(task)
+        for _ in range(self.num_workers):
+            task_q.put(None)
+        procs = [
+            ctx.Process(
+                target=_proc_worker_main,
+                args=(self.dataset, task_q, res_q,
+                      self._seed + 977 * self._epoch + w),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+        try:
+            pending = {}
+            nxt = 0
+            for _ in range(len(batches)):
+                bi, item = res_q.get()
+                pending[bi] = item
+                while nxt in pending:
+                    out = pending.pop(nxt)
+                    nxt += 1
+                    if isinstance(out, Exception):
+                        raise out
+                    yield out
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=10)
+
+
 def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
     phase = dataset_opt["phase"]
+    use_proc = bool(dataset_opt.get("use_process_loader"))
+    cls = ProcessDataLoader if use_proc else DataLoader
     if phase == "train":
         world_size = (opt or {}).get("world_size") or 1
         num_workers = (dataset_opt["n_workers"] or 2) * len(
@@ -148,7 +234,7 @@ def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
         )
         batch_size = (dataset_opt["batch_size"] or 1) // world_size
         shuffle = sampler is None and bool(dataset_opt["use_shuffle"])
-        return DataLoader(
+        return cls(
             dataset,
             batch_size=batch_size,
             shuffle=shuffle,
@@ -156,7 +242,7 @@ def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
             num_workers=num_workers,
             drop_last=True,
         )
-    return DataLoader(
+    return cls(
         dataset,
         batch_size=dataset_opt["batch_size"] or 1,
         shuffle=False,

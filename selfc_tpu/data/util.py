@@ -24,12 +24,30 @@ def get_vid_paths(dataroot: str, data_list: str):
     return sorted(videos)
 
 
+# Bounded decoded-frame cache (uint8, so 4x smaller than float32). The
+# ratio-200 epoch sampler (reference data_sampler.py:12-65) revisits the
+# same clips hundreds of times per epoch; caching the PNG decode removes
+# the dominant host cost of training on this path. Budget via
+# SELFC_TPU_FRAME_CACHE_MB (0 disables).
+_DECODE_CACHE: dict = {}
+_DECODE_CACHE_BYTES = 0
+_DECODE_CACHE_BUDGET = (
+    int(os.environ.get("SELFC_TPU_FRAME_CACHE_MB", "512")) * 2**20
+)
+
+
 def read_img(path: str) -> np.ndarray:
     """BGR float32 HWC in [0,1] (reference read_img1, data/util.py:103-115)."""
-    img = cv2.imread(path, cv2.IMREAD_COLOR)
-    if img is None:
-        raise FileNotFoundError(path)
-    img = img.astype(np.float32) / 255.0
+    global _DECODE_CACHE_BYTES
+    u8 = _DECODE_CACHE.get(path)
+    if u8 is None:
+        u8 = cv2.imread(path, cv2.IMREAD_COLOR)
+        if u8 is None:
+            raise FileNotFoundError(path)
+        if _DECODE_CACHE_BYTES + u8.nbytes <= _DECODE_CACHE_BUDGET:
+            _DECODE_CACHE[path] = u8
+            _DECODE_CACHE_BYTES += u8.nbytes
+    img = u8.astype(np.float32) / 255.0
     if img.ndim == 2:
         img = img[:, :, None]
     if img.shape[2] > 3:

@@ -105,6 +105,99 @@ class TestClearState:
             assert count == 3
 
 
+class TestLQGTVIDAug:
+    def _make_vids(self, root, n_vids=2, n_frames=7, hw=48):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(0)
+        names = []
+        for v in range(n_vids):
+            d = root / f"vid{v:03d}"
+            d.mkdir(parents=True, exist_ok=True)
+            base = rng.integers(0, 255, (hw, hw, 3), np.uint8)
+            for i in range(1, n_frames + 1):
+                cv2.imwrite(str(d / f"im{i}.png"), np.roll(base, i, axis=1))
+            names.append(f"vid{v:03d}")
+        (root / "list.txt").write_text("\n".join(names))
+
+    def test_elastic_deform_changes_pixels(self):
+        from selfc_tpu.data.datasets import _elastic_deform_np
+
+        img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+        out = _elastic_deform_np(img, np.random.default_rng(1))
+        assert out.shape == img.shape and out.dtype == img.dtype
+        assert not np.allclose(out, img)
+
+    def test_aug_dataset_registered_and_samples(self, tmp_path):
+        from selfc_tpu.data.loader import create_dataset
+
+        self._make_vids(tmp_path)
+        ds = create_dataset(dict_to_nonedict({
+            "mode": "LQGTVID_Aug", "phase": "train",
+            "dataroot_GT": str(tmp_path),
+            "dataroot_list": str(tmp_path / "list.txt"),
+            "video_len": 5, "GT_size": 32, "use_flip": True,
+            "use_rot": True, "use_elastic_deform": True,
+            "use_multi_scale": True, "color": "RGB", "scale": 4,
+        }))
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["GT"].shape == (5, 32, 32, 3)  # monotone 5 of first 7
+        assert item["GT"].dtype == np.float32
+        assert 0.0 <= item["GT"].min() and item["GT"].max() <= 1.0 + 1e-3
+
+        # test phase returns every frame
+        ds_test = create_dataset(dict_to_nonedict({
+            "mode": "LQGTVID_Aug", "phase": "val",
+            "dataroot_GT": str(tmp_path),
+            "dataroot_list": str(tmp_path / "list.txt"),
+            "video_len": 5, "GT_size": 32, "color": "RGB", "scale": 4,
+        }))
+        assert ds_test[0]["GT"].shape == (7, 48, 48, 3)
+
+
+class TestProcessLoader:
+    def test_matches_thread_loader_order_and_content(self, tmp_path):
+        from selfc_tpu.data.loader import (
+            DataLoader, ProcessDataLoader, create_dataset,
+        )
+
+        TestLQGTVIDAug._make_vids(TestLQGTVIDAug(), tmp_path, n_vids=4)
+        ds_opt = dict_to_nonedict({
+            "mode": "LQGTVID", "phase": "val",
+            "dataroot_GT": str(tmp_path),
+            "dataroot_list": str(tmp_path / "list.txt"),
+            # video_len 7 -> deterministic first-7 selection (T=3/5 sample
+            # random monotone indices, reference LQGTVID_dataset.py:188-214)
+            "video_len": 7, "GT_size": 32, "color": "RGB", "scale": 4,
+        })
+        ds = create_dataset(ds_opt)
+        want = list(DataLoader(ds, batch_size=2, num_workers=2))
+        got = list(ProcessDataLoader(ds, batch_size=2, num_workers=2))
+        assert len(got) == len(want) == 2
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w["GT"], g["GT"])
+            assert w["GT_path"] == g["GT_path"]
+
+    def test_create_dataloader_selects_process_loader(self, tmp_path):
+        from selfc_tpu.data.loader import ProcessDataLoader, create_dataloader
+
+        TestLQGTVIDAug._make_vids(TestLQGTVIDAug(), tmp_path, n_vids=2)
+        ds_opt = dict_to_nonedict({
+            "mode": "LQGTVID", "phase": "train",
+            "dataroot_GT": str(tmp_path),
+            "dataroot_list": str(tmp_path / "list.txt"),
+            "video_len": 3, "GT_size": 32, "color": "RGB", "scale": 4,
+            "batch_size": 2, "n_workers": 1, "use_shuffle": True,
+            "use_process_loader": True,
+        })
+        from selfc_tpu.data.loader import create_dataset
+
+        loader = create_dataloader(create_dataset(ds_opt), ds_opt)
+        assert isinstance(loader, ProcessDataLoader)
+        batch = next(iter(loader))
+        assert batch["GT"].shape == (2, 3, 32, 32, 3)
+
+
 _DIST_CHILD = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
