@@ -171,9 +171,33 @@ class DenseChain(nn.Module):
             and chain_shapes_ok(x.shape[-3], x.shape[-2], x.shape[-1])
         )
 
+    def _fused_v2_ok(self, x, conv5) -> bool:
+        """Whole-chain v2 kernel: in-kernel temporal conv5 over a rotating
+        3-slot VMEM buffer — the (x, x1..x4) concat never leaves HBM."""
+        from ..ops.pallas_chain import chain_v2_enabled, chain_v2_shapes_ok
+
+        return (
+            self.k1 == "s"
+            and self.kmid == "s"
+            and self.k5 == "t"
+            and conv5.dilation == 1
+            and self.gc == 32
+            and not self.early_3d
+            and x.ndim == 5
+            and chain_v2_enabled()
+            and chain_v2_shapes_ok(
+                x.shape[1], x.shape[2], x.shape[3], x.shape[4], self.c_out
+            )
+        )
+
     def _fused(self, x, convs, conv5):
         """Pallas-fused spatial chain + concat-free conv5 on (x, x1..x4)."""
-        from ..ops.pallas_chain import fused_dense_spatial
+        from ..ops.pallas_chain import fused_dense_chain_t, fused_dense_spatial
+
+        if self._fused_v2_ok(x, conv5):
+            ws, bs = zip(*(c.weights() for c in convs))
+            w5, b5 = conv5.weights()
+            return fused_dense_chain_t(x, tuple(ws), tuple(bs), w5, b5)
 
         squeeze = x.ndim == 4
         xv = x[:, None] if squeeze else x  # (N,H,W,C) -> (N,1,H,W,C)

@@ -63,7 +63,7 @@ def chain_fused_enabled() -> bool:
 
 
 def _pick_tile_h(H: int) -> int | None:
-    for th in (12, 8, 16, 24, 6, 32, 4):
+    for th in (24, 16, 12, 8, 6, 32, 4):
         if H % th == 0:
             return th
     return None
@@ -227,3 +227,231 @@ def _fds_bwd(res, g):
 
 
 fused_dense_spatial.defvjp(_fds_fwd, _fds_bwd)
+
+
+# ===========================================================================
+# v2: whole-chain kernel — v1's dy-dot scheme + fused temporal conv5
+# ===========================================================================
+#
+# Same spatial-conv scheme as the v1 kernel (growing concat in one VMEM
+# work buffer, 3 dy-accumulated MXU dots per conv, dx-packed 96-lane
+# outputs), plus: THE TEMPORAL conv5 FUSES IN-KERNEL via a rotating 3-slot
+# VMEM buffer. Grid is (B, row_tiles, T+1) with t innermost; each step
+# deposits its (x, x1..x4) inner rows into slot t%3 and emits out(t-1) as
+# one dot over all three slots with a phase-permuted weight. The
+# (B,T,H,W,4*GC) intermediate and its temporal-pad copies never touch HBM
+# (~135 MB of traffic per chain at the flagship shape).
+#
+# (A dy-packed-contraction variant was measured SLOWER on v5e — the three
+# row-shifted subgroup writes per conv cost more than the dot savings —
+# so the dot scheme stays v1's.)
+
+
+def chain_v2_enabled() -> bool:
+    """Whole-chain (conv5-fused) kernel gate; SELFC_TPU_PALLAS_V2=0
+    disables, =1 forces (interpret mode off-TPU)."""
+    flag = os.environ.get("SELFC_TPU_PALLAS_V2", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return chain_fused_enabled()
+
+
+def _pick_tile_h_v2(H: int, lanes: int) -> int | None:
+    for th in (24, 16, 12, 8, 6, 4):
+        if H % th != 0:
+            continue
+        work = (th + 8) * 192 * lanes * 2
+        slot = 3 * th * 192 * lanes * 2
+        part = (th + 6) * 192 * 128 * 4
+        if work + slot + part < 11 * 2 ** 20:
+            return th
+    return None
+
+
+def chain_v2_shapes_ok(T: int, H: int, W: int, C: int, c_out: int) -> bool:
+    X = _round_up(C, GC)
+    th = _pick_tile_h_v2(H, X + 4 * GC)
+    return th is not None and W % 16 == 0
+
+
+def _prep_w5_v2(w5, C: int, X: int, c_out: int):
+    """(3dt, C+4*GC, Cout) -> (3 phases, 3*(X+4*GC), Cout).
+
+    Slot s at phase p (p = t % 3) holds f(t - ((p - s) % 3)); the conv5 tap
+    for out(t-1) reading f(t-k) is w5[2-k]. Zero rows pad channels C..X."""
+    Xp = X + 4 * GC
+    rows = []
+    z = jnp.zeros((X - C, c_out), w5.dtype)
+    for p in range(3):
+        phase_rows = []
+        for s in range(3):
+            k = (p - s) % 3  # slot s holds f(t-k)
+            tap = w5[2 - k]  # (C+4GC, Cout)
+            seg = jnp.concatenate([tap[:C], z, tap[C:]], axis=0)  # (Xp, Cout)
+            phase_rows.append(seg)
+        rows.append(jnp.concatenate(phase_rows, axis=0))  # (3*Xp, Cout)
+    return jnp.stack(rows)  # (3, 3*Xp, Cout)
+
+
+def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
+                     work, slots, *, TH, W, WP, X, H, T, slope):
+    i_tile = pl.program_id(1)
+    t = pl.program_id(2)
+    f32 = jnp.float32
+    Xp = X + 4 * GC
+    w_refs = (w1, w2, w3, w4)
+
+    @pl.when(t == 0)
+    def _zero_slots():
+        slots[...] = jnp.zeros_like(slots)
+
+    @pl.when(t < T)
+    def _compute():
+        # identical spatial-chain scheme to the v1 kernel
+        work[:, :, :X] = x_ref[0, 0]
+        work[:, 0:1, X:] = jnp.zeros((TH + 8, 1, 4 * GC), work.dtype)
+        work[:, W + 1:WP, X:] = jnp.zeros((TH + 8, WP - W - 1, 4 * GC),
+                                          work.dtype)
+        for i in range(1, 5):
+            kin = X + GC * (i - 1)
+            ri0 = i - 1
+            ro0, ro1 = i, TH + 8 - i
+            r_out = ro1 - ro0
+            w = w_refs[i - 1]
+            part = None
+            for dy in range(3):
+                inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                    r_out * WP, kin
+                )
+                d = jax.lax.dot_general(
+                    inp, w[dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                part = d if part is None else part + d
+            part = part.reshape(r_out, WP, 3 * GC)
+            acc = jnp.broadcast_to(b_ref[i - 1].astype(f32), (r_out, W, GC))
+            for dx in range(3):
+                acc = acc + part[:, dx:dx + W, GC * dx:GC * (dx + 1)]
+            acc = jnp.where(acc >= 0, acc, slope * acc)
+            h0 = i_tile * TH + i - 4
+            rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
+            acc = jnp.where((rr >= 0) & (rr < H), acc, 0.0)
+            work[ro0:ro1, 1:W + 1, X + GC * (i - 1):X + GC * i] = (
+                acc.astype(work.dtype)
+            )
+        # deposit this frame's inner rows (one contiguous copy: the work
+        # buffer is already [x | x1..x4]) into slot t%3
+        for s in range(3):
+            @pl.when(t % 3 == s)
+            def _deposit(s=s):
+                slots[:, :, s * Xp:(s + 1) * Xp] = work[4:TH + 4]
+
+    @pl.when(t == T)
+    def _zero_future_slot():
+        # f(T) does not exist; its slot must read as zero for out(T-1)
+        for s in range(3):
+            @pl.when(t % 3 == s)
+            def _z(s=s):
+                slots[:, :, s * Xp:(s + 1) * Xp] = jnp.zeros(
+                    (TH, WP, Xp), slots.dtype
+                )
+
+    # out(t-1): one dot over all three slots with the phase-selected weight
+    phase = t % 3
+    inp5 = slots[...].reshape(TH * WP, 3 * Xp)
+    w5p = w5_ref[pl.ds(phase, 1)][0]
+    y5 = jax.lax.dot_general(
+        inp5, w5p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(TH, WP, -1)
+    y5 = y5 + b5_ref[0].astype(f32)
+    # at t==0 (warm-up step) this writes a partial out(0); t==1 overwrites
+    # the same block with the complete value before it flushes.
+    o_ref[0, 0] = y5[:, 1:W + 1].astype(o_ref.dtype)
+
+
+def _pallas_impl_v2(x, ws, bs, w5, b5):
+    """x: (B,T,H,W,C); ws: 4 conv weights; w5: (3, C+4*GC, Cout).
+    Returns conv5(concat(x, x1..x4)): (B,T,H,W,Cout)."""
+    B, T, H, W, C = x.shape
+    X = _round_up(C, GC)
+    c_out = w5.shape[-1]
+    TH = _pick_tile_h_v2(H, X + 4 * GC)
+    WP = _round_up(W + 2, 16)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, WP - W - 1), (0, X - C)))
+    wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
+    bss = jnp.stack([b.astype(jnp.float32) for b in bs])  # (4, GC)
+    w5p = _prep_w5_v2(w5.astype(x.dtype), C, X, c_out)
+    b5p = b5.astype(jnp.float32).reshape(1, -1)
+
+    kernel = partial(
+        _chain_kernel_v2, TH=TH, W=W, WP=WP, X=X, H=H, T=T, slope=0.2
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // TH, T + 1),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(1), pl.Element(TH + 8),
+                 pl.Element(WP), pl.Element(X)),
+                lambda b, i, t: (b, jnp.minimum(t, T - 1), i * TH, 0, 0),
+            ),
+            *[
+                pl.BlockSpec((3, X + GC * k, 3 * GC),
+                             lambda b, i, t: (0, 0, 0))
+                for k in range(4)
+            ],
+            pl.BlockSpec((4, GC), lambda b, i, t: (0, 0)),
+            pl.BlockSpec((3, 3 * (X + 4 * GC), c_out),
+                         lambda b, i, t: (0, 0, 0)),
+            pl.BlockSpec((1, c_out), lambda b, i, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TH, W, c_out),
+            lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, WP, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH, WP, 3 * (X + 4 * GC)), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *wps, bss, w5p, b5p)
+    return out
+
+
+def _xla_impl_v2(x, ws, bs, w5, b5):
+    """XLA oracle/backward for the full chain incl. temporal conv5."""
+    from .conv import temporal_conv3
+
+    feats = _xla_impl(x, ws, bs)
+    C = x.shape[-1]
+    return (temporal_conv3(x, w5[:, :C].astype(x.dtype), None)
+            + temporal_conv3(feats, w5[:, C:].astype(x.dtype),
+                             b5.astype(x.dtype)))
+
+
+@jax.custom_vjp
+def fused_dense_chain_t(x, ws, bs, w5, b5):
+    return _pallas_impl_v2(x, ws, bs, w5, b5)
+
+
+def _fdc_fwd(x, ws, bs, w5, b5):
+    return _pallas_impl_v2(x, ws, bs, w5, b5), (x, ws, bs, w5, b5)
+
+
+def _fdc_bwd(res, g):
+    x, ws, bs, w5, b5 = res
+    _, vjp = jax.vjp(_xla_impl_v2, x, ws, bs, w5, b5)
+    return vjp(g)
+
+
+fused_dense_chain_t.defvjp(_fdc_fwd, _fdc_bwd)

@@ -94,3 +94,64 @@ def test_shape_gate():
     assert chain_shapes_ok(144, 176, 51)
     assert not chain_shapes_ok(145, 176, 51)  # H with no usable tile
     assert not chain_shapes_ok(144, 177, 51)  # W not 16-aligned
+
+
+# --------------------------------------------------------------------------
+# v2: whole-chain kernel (fused temporal conv5 over rotating T slots)
+# --------------------------------------------------------------------------
+
+from selfc_tpu.ops.pallas_chain import (  # noqa: E402
+    _pallas_impl_v2,
+    _xla_impl_v2,
+    chain_v2_shapes_ok,
+    fused_dense_chain_t,
+)
+
+
+def _mk_chain_v2(rng, C, c_out):
+    ws, bs = _mk_chain(rng, C)
+    w5 = jnp.asarray(rng.normal(0, 0.1, (3, C + 128, c_out)), jnp.float32)
+    b5 = jnp.asarray(rng.normal(0, 0.1, (c_out,)), jnp.float32)
+    return ws, bs, w5, b5
+
+
+@pytest.mark.parametrize(
+    "shape,c_out",
+    [
+        ((1, 7, 24, 32, 3), 48),   # T=7 exercises the full slot rotation
+        ((2, 3, 24, 32, 48), 3),   # multi-batch, tiny Cout
+        ((1, 1, 12, 16, 64), 64),  # T=1 edge (both neighbors zero)
+        ((1, 2, 12, 16, 51), 12),  # unaligned C
+    ],
+)
+def test_v2_kernel_matches_xla(shape, c_out):
+    rng = np.random.default_rng(0)
+    C = shape[-1]
+    ws, bs, w5, b5 = _mk_chain_v2(rng, C, c_out)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    want = _xla_impl_v2(x, ws, bs, w5, b5)
+    got = _pallas_impl_v2(x, ws, bs, w5, b5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_v2_custom_vjp_matches_xla_grads():
+    rng = np.random.default_rng(1)
+    ws, bs, w5, b5 = _mk_chain_v2(rng, 3, 48)
+    x = jnp.asarray(rng.normal(0, 1, (1, 3, 12, 16, 3)), jnp.float32)
+
+    def loss_f(x, ws, bs, w5, b5):
+        return jnp.sum(fused_dense_chain_t(x, ws, bs, w5, b5) ** 2)
+
+    def loss_r(x, ws, bs, w5, b5):
+        return jnp.sum(_xla_impl_v2(x, ws, bs, w5, b5) ** 2)
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(x, ws, bs, w5, b5)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, ws, bs, w5, b5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_v2_shape_gate():
+    assert chain_v2_shapes_ok(7, 144, 176, 51, 48)
+    assert not chain_v2_shapes_ok(7, 145, 176, 51, 48)  # no usable tile
+    assert not chain_v2_shapes_ok(7, 144, 177, 51, 48)  # W not 16-aligned
