@@ -67,26 +67,48 @@ def _inv_matrix_np(k: int, C: int):
     return M
 
 
+@lru_cache(maxsize=None)
+def _inv_convt_kernel_np(k: int, C: int):
+    """(k, k, C*(k*k+1), C) conv_transpose kernel realizing the inverse;
+    spatial taps are flipped (conv_transpose applies the mirrored kernel)."""
+    M = _inv_matrix_np(k, C)
+    K2 = np.zeros((k, k, C * (k * k + 1), C), np.float32)
+    for sh in range(k):
+        for sw in range(k):
+            for c in range(C):
+                K2[k - 1 - sh, k - 1 - sw, :, c] = M[:, (sh * k + sw) * C + c]
+    return K2
+
+
 def freq_forward(x, k: int):
-    """Each k x k block -> [mean | residual-unshuffle] as ONE contraction
-    over the block (einsum on the MXU). Equivalent to the reference
-    FrequencyAnalyzer forward (SelfC_GMM_arch_inv.py:62-77); ~3.5x faster
-    on TPU than the repeat/subtract/transpose chain at HD frame sizes."""
+    """Each k x k block -> [mean | residual-unshuffle] as ONE stride-k
+    conv (direct MXU lowering, no block transposes of a 3-lane tensor).
+    Equivalent to the reference FrequencyAnalyzer forward
+    (SelfC_GMM_arch_inv.py:62-77); exact vs the repeat/subtract/transpose
+    composition (regression-tested)."""
+    from jax import lax
+
     *lead, H, W, C = x.shape
     K = jnp.asarray(_fwd_kernel_np(k, C), x.dtype)
-    xb = x.reshape(-1, H // k, k, W // k, k, C)
-    y = jnp.einsum("nhxwyc,xycf->nhwf", xb, K)
+    y = lax.conv_general_dilated(
+        x.reshape(-1, H, W, C), K,
+        window_strides=(k, k), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
     return y.reshape(*lead, H // k, W // k, C * (k * k + 1))
 
 
 def freq_inverse(y, k: int, c_lf: int = 3):
-    """Inverse as one matmul into (s_h, s_w, c)-ordered blocks + a block
-    interleave (kept deliberately asymmetric with the forward's custom
-    shuffle order, reference :78-82)."""
+    """Inverse as one stride-k conv_transpose (area_up + torch-PixelShuffle
+    order in a single op — kept deliberately asymmetric with the forward's
+    custom shuffle order, reference :78-82)."""
+    from jax import lax
+
     *lead, h, w, CF = y.shape
     C = c_lf
-    M = jnp.asarray(_inv_matrix_np(k, C), y.dtype)
-    blocks = jnp.einsum("...f,fg->...g", y, M)
-    b6 = blocks.reshape(-1, h, w, k, k, C)
-    b6 = jnp.transpose(b6, (0, 1, 3, 2, 4, 5))
-    return b6.reshape(*lead, h * k, w * k, C)
+    K2 = jnp.asarray(_inv_convt_kernel_np(k, C), y.dtype)
+    out = lax.conv_transpose(
+        y.reshape(-1, h, w, CF), K2, strides=(k, k), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(*lead, h * k, w * k, C)
