@@ -33,6 +33,48 @@ from .rescale_model import make_degrade
 logger = logging.getLogger("base")
 
 
+def closure_convert_all(fun, *example_args):
+    """Like ``jax.closure_convert`` but hoists EVERY traced constant, not
+    just AD-perturbable (float) ones.
+
+    ``jax.closure_convert`` leaves non-float consts (e.g. the bool
+    leaky-relu masks a VJP saves as residuals) baked into the returned
+    callable; when the conversion happens under an outer trace those stay
+    tracers and leak. Hoisting everything makes the converted function a
+    pure jaxpr evaluator whose residuals can cross a jit boundary as plain
+    arrays — which is exactly what the split-at-codec train step needs.
+    """
+    from jax import tree_util
+    from jax._src import core as _core
+    from jax._src import linear_util as _lu
+    from jax._src.api_util import debug_info as _dbg
+    from jax._src.api_util import flatten_fun_nokwargs as _flatten
+    from jax._src.interpreters import partial_eval as _pe
+
+    flat_args, in_tree = tree_util.tree_flatten(example_args)
+    in_avals = tuple(_core.get_aval(a) for a in flat_args)
+    dbg = _dbg("closure_convert_all", fun, example_args, {})
+    wrapped, out_tree = _flatten(
+        _lu.wrap_init(fun, debug_info=dbg), in_tree
+    )
+    jaxpr, _, consts = _pe.trace_to_jaxpr_dynamic(wrapped, in_avals)
+    out_tree = out_tree()
+    is_hoisted = [isinstance(c, _core.Tracer) for c in consts]
+    hoisted = [c for c, h in zip(consts, is_hoisted) if h]
+    baked = [c for c, h in zip(consts, is_hoisted) if not h]
+
+    def converted(*args_hconsts):
+        n_args = len(args_hconsts) - len(hoisted)
+        args, hconsts = args_hconsts[:n_args], args_hconsts[n_args:]
+        it_h, it_b = iter(hconsts), iter(baked)
+        merged = [next(it_h) if h else next(it_b) for h in is_hoisted]
+        flat, _ = tree_util.tree_flatten(tuple(args))
+        out_flat = _core.eval_jaxpr(jaxpr, merged, *flat)
+        return tree_util.tree_unflatten(out_tree, out_flat)
+
+    return converted, hoisted
+
+
 class CodecModel:
     def __init__(self, opt, mesh=None, rng_seed: int = 0):
         self.opt = opt
@@ -68,10 +110,16 @@ class CodecModel:
             self._build_optimizer()
         self.load()
 
-        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
-        self._jit_encode_lf = jax.jit(self._encode_quantized_lf)
         self._jit_encode = jax.jit(self._encode)
         self._jit_decode = jax.jit(self._decode)
+        # per-hr-shape (encode-fwd jit, train-step jit) pairs; see
+        # _split_for_shape. One encode forward per step: the forward runs
+        # once in jit A (its VJP residuals ride along as arrays) and the
+        # update jit pulls encode gradients back through those residuals
+        # instead of re-running the encode (reference runs the codec
+        # synchronously mid-graph, SelfC_Codec_arch_inv.py:452-477 — the
+        # torch autograd tape plays the role the residuals play here).
+        self._split_cache = {}
 
     # ------------------------------------------------------------------
     def _init_params(self):
@@ -144,19 +192,62 @@ class CodecModel:
         )
         return noisy, jnp.zeros(())
 
-    def _encode_quantized_lf(self, params, hr):
-        """First jit half: the quantized LF the host codec will chew on."""
+    def _encode_lf(self, params, hr):
+        """The encode half the host codec depends on: HR -> LF (3ch)."""
         y, _ = self.net.apply(
             {"params": params["net"]}, hr, method=self.net.encode
         )
-        return quantize_ste(y[..., :3])
+        return y[..., :3]
 
-    def _loss(self, params, hr, ref_l, codec_out, rng, q_value):
-        to = self.train_opt
-        y, _ = self.net.apply(
-            {"params": params["net"]}, hr, method=self.net.encode
+    def _split_for_shape(self, hr_shape):
+        """Build (fwd_jit, step_jit) for one HR shape.
+
+        fwd_jit(params, hr) -> (lf, lr_q, consts): runs the encode ONCE and
+        hoists its VJP residuals out as plain arrays (jax.closure_convert),
+        so they survive the host codec call between the two jits. step_jit
+        computes the rest of the loss with lf as an *input* and chains the
+        encode-parameter gradients through the saved residuals — no second
+        encode forward anywhere in the step.
+        """
+        if hr_shape in self._split_cache:
+            return self._split_cache[hr_shape]
+
+        def fwd(params, hr):
+            lf, f_vjp = jax.vjp(self._encode_lf, params, hr)
+            _, consts = closure_convert_all(f_vjp, lf)
+            lr_q = jnp.round(jnp.clip(lf, 0.0, 1.0) * 255.0) / 255.0
+            return lf, lr_q, tuple(consts)
+
+        # capture the converted VJP callable; tracing fwd abstractly
+        # produces the identical jaxpr (and thus const order) as fwd_jit
+        captured = {}
+
+        def capture(params, hr):
+            lf, f_vjp = jax.vjp(self._encode_lf, params, hr)
+            f_conv, consts = closure_convert_all(f_vjp, lf)
+            captured["f"] = f_conv
+            return lf, tuple(consts)
+
+        hr_spec = jax.ShapeDtypeStruct(hr_shape, jnp.float32)
+        jax.eval_shape(capture, self.params, hr_spec)
+        enc_bwd = captured["f"]
+
+        def step(params, opt_state, hr, lf, consts, codec_out,
+                 lr_value, step_i, q_value):
+            return self._train_step(
+                params, opt_state, hr, lf, consts, codec_out,
+                lr_value, step_i, q_value, enc_bwd,
+            )
+
+        pair = (
+            jax.jit(fwd),
+            jax.jit(step, donate_argnums=(0, 1)),
         )
-        lf = y[..., :3]
+        self._split_cache[hr_shape] = pair
+        return pair
+
+    def _loss(self, params, lf, hr, ref_l, codec_out, rng, q_value):
+        to = self.train_opt
         lr_q = quantize_ste(lf)
         k1, k2 = jax.random.split(rng)
         lr_distorted, mimick = self._distort_lr(params, lr_q, codec_out, q_value, k1)
@@ -196,7 +287,8 @@ class CodecModel:
             "loss": loss,
         }
 
-    def _train_step(self, params, opt_state, hr, codec_out, lr_value, step, q_value):
+    def _train_step(self, params, opt_state, hr, lf, consts, codec_out,
+                    lr_value, step, q_value, enc_bwd):
         rng = jax.random.fold_in(self._step_key, step)
         if self._clear_state_steps:
             # reference lr_scheduler.py:21-29 (train.clear_state)
@@ -206,9 +298,12 @@ class CodecModel:
                 lambda f, o: jnp.where(at_restart, f, o), fresh, opt_state
             )
         ref_l = jax.lax.stop_gradient(self.degrade(hr))
-        (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            params, hr, ref_l, codec_out, rng, q_value
-        )
+        (loss, logs), (grads, g_lf) = jax.value_and_grad(
+            self._loss, argnums=(0, 1), has_aux=True
+        )(params, lf, hr, ref_l, codec_out, rng, q_value)
+        # encode-parameter gradients via the residuals saved in the fwd jit
+        g_enc, _ = enc_bwd(g_lf, *consts)
+        grads = jax.tree.map(jnp.add, grads, g_enc)
         updates, new_opt_state = self.tx.update(grads, opt_state, params)
         new_params = jax.tree.map(
             lambda p, u: p - lr_value * u, params, updates
@@ -252,20 +347,20 @@ class CodecModel:
         q = self.q
         if isinstance(q, list):
             q = random.randint(q[0], q[1])
-        # split-at-codec: jit encode half -> host codec -> jit loss+update
+        # split-at-codec: jit encode (fwd ONCE, residuals out) -> host
+        # codec -> jit loss+update pulling encode grads through residuals
+        fwd_jit, step_jit = self._split_for_shape(tuple(self.real_H.shape))
+        lf, lr_q, consts = fwd_jit(self.params, self.real_H)
         img_bpp = 0.0
         if self.noise_type == "h265":
-            lr_q = np.asarray(self._jit_encode_lf(self.params, self.real_H))
             codec_np, img_bpp = h265_host_roundtrip(
-                lr_q, q, self._h265_keyint, self.scale
+                np.asarray(lr_q), q, self._h265_keyint, self.scale
             )
             codec_out = jnp.asarray(codec_np)
         else:
-            codec_out = jnp.zeros_like(
-                self._jit_encode_lf(self.params, self.real_H)
-            )
-        self.params, self.opt_state, logs = self._jit_train_step(
-            self.params, self.opt_state, self.real_H, codec_out,
+            codec_out = jnp.zeros_like(lr_q)
+        self.params, self.opt_state, logs = step_jit(
+            self.params, self.opt_state, self.real_H, lf, consts, codec_out,
             jnp.asarray(lr_value, jnp.float32), jnp.asarray(step, jnp.int32),
             jnp.float32(q),
         )

@@ -341,3 +341,105 @@ class TestDeartImport:
                            rngs={"sample": jax.random.PRNGKey(4)})
         assert hr.shape == (1, 3, 16, 16, 3)
         assert np.isfinite(np.asarray(hr)).all()
+
+
+class TestCodecSingleEncode:
+    """VERDICT #5: the codec train step must run the encode forward ONCE.
+
+    jit A runs the encode and hoists its VJP residuals out as arrays
+    (closure_convert); the update jit consumes them instead of re-encoding.
+    """
+
+    def _model(self, tmp_path):
+        import sys
+
+        from selfc_tpu.train.codec_model import CodecModel
+
+        sys.modules.pop("_tiny", None)
+        from tests.test_codec import _tiny_codec_opt
+
+        opt = _tiny_codec_opt(tmp_path, str(tmp_path))
+        opt["train"]["h265_sug"] = False  # plain STE: grads comparable
+        return CodecModel(opt)
+
+    def test_split_grads_match_monolithic(self, tmp_path):
+        """The residual-chained gradients equal a single value_and_grad
+        over a loss that re-runs the encode (the round-1 formulation)."""
+        m = self._model(tmp_path)
+        rng = np.random.default_rng(0)
+        hr = jnp.asarray(rng.random((1, 3, 32, 32, 3)), jnp.float32)
+        fwd_jit, _ = m._split_for_shape(tuple(hr.shape))
+        lf, lr_q, consts = fwd_jit(m.params, hr)
+        codec_out = jnp.asarray(
+            np.clip(np.asarray(lr_q) + rng.normal(0, 0.01, lr_q.shape), 0, 1),
+            jnp.float32,
+        )
+        ref_l = m.degrade(hr)
+        key = jax.random.fold_in(m._step_key, 1)
+        q = jnp.float32(16)
+
+        # split path: grads wrt (params, lf), chained through residuals
+        (_, _), (g_p, g_lf) = jax.value_and_grad(
+            m._loss, argnums=(0, 1), has_aux=True
+        )(m.params, lf, hr, ref_l, codec_out, key, q)
+        captured = {}
+
+        from selfc_tpu.train.codec_model import closure_convert_all
+
+        def capture(params, x):
+            y, f_vjp = jax.vjp(m._encode_lf, params, x)
+            f_conv, consts_ = closure_convert_all(f_vjp, y)
+            captured["f"] = f_conv
+            return y, tuple(consts_)
+
+        jax.eval_shape(capture, m.params,
+                       jax.ShapeDtypeStruct(hr.shape, jnp.float32))
+        g_enc, _ = captured["f"](g_lf, *consts)
+        g_split = jax.tree.map(jnp.add, g_p, g_enc)
+
+        # monolithic path (round-1 style): encode inside the loss
+        def mono_loss(params):
+            lf_ = m._encode_lf(params, hr)
+            return m._loss(params, lf_, hr, ref_l, codec_out, key, q)[0]
+
+        g_mono = jax.grad(mono_loss)(m.params)
+        flat_s, _ = jax.flatten_util.ravel_pytree(g_split)
+        flat_m, _ = jax.flatten_util.ravel_pytree(g_mono)
+        np.testing.assert_allclose(
+            np.asarray(flat_s), np.asarray(flat_m), rtol=2e-4, atol=1e-6
+        )
+
+    def test_step_flops_exclude_second_encode(self, tmp_path):
+        """cost_analysis: the update jit's FLOPs stay below the monolithic
+        step's by at least half an encode-forward."""
+        m = self._model(tmp_path)
+        hr = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+        fwd_jit, step_jit = m._split_for_shape(tuple(hr.shape))
+        lf, lr_q, consts = fwd_jit(m.params, hr)
+        args = (m.params, m.opt_state, hr, lf, consts, jnp.zeros_like(lr_q),
+                jnp.float32(1e-4), jnp.int32(1), jnp.float32(16))
+
+        def flops(jitted, *a):
+            c = jitted.lower(*a).compile().cost_analysis()
+            c = c[0] if isinstance(c, list) else c
+            return float(c["flops"])
+
+        f_enc = flops(jax.jit(m._encode_lf), m.params, hr)
+        f_step = flops(step_jit, *args)
+
+        def mono(params, opt_state, hr, codec_out, lrv, it, q):
+            lf_ = m._encode_lf(params, hr)
+            cs = tuple(jnp.zeros_like(c) for c in consts)
+
+            def enc_bwd(ct, *_):
+                return jax.vjp(m._encode_lf, params, hr)[1](ct)
+
+            return m._train_step(params, opt_state, hr, lf_, cs,
+                                 codec_out, lrv, it, q, enc_bwd)
+
+        f_mono = flops(
+            jax.jit(mono), m.params, m.opt_state, hr,
+            jnp.zeros_like(lr_q), jnp.float32(1e-4), jnp.int32(1),
+            jnp.float32(16),
+        )
+        assert f_step <= f_mono - 0.5 * f_enc, (f_step, f_mono, f_enc)
