@@ -168,6 +168,64 @@ def stack_block_params(params: dict, n_blocks: int) -> dict:
     return out
 
 
+def invert_tensor(torch_shape, w: np.ndarray) -> np.ndarray:
+    """our kernel -> torch kernel of ``torch_shape`` (convert_tensor^-1)."""
+    w = np.asarray(w)
+    if len(torch_shape) == 5:  # Conv3d (Co, Ci, kt, kh, kw)
+        kt, kh, kw = torch_shape[2:]
+        if (kt, kh, kw) == (1, 1, 1):
+            return w.T[:, :, None, None, None]
+        if kh == 1 and kw == 1:  # temporal: ours (kt, Ci, Co)
+            return w.transpose(2, 1, 0)[:, :, :, None, None]
+        if kt == 1:  # spatial: ours (kh, kw, Ci, Co)
+            return w.transpose(3, 2, 0, 1)[:, :, None]
+        return w.transpose(4, 3, 0, 1, 2)
+    if len(torch_shape) == 4:  # Conv2d
+        if torch_shape[2] == 1 and torch_shape[3] == 1:
+            return w.T[:, :, None, None]
+        return w.transpose(3, 2, 0, 1)
+    if len(torch_shape) == 2:  # Linear
+        return w.T
+    return w
+
+
+def _get(tree: dict, path: list):
+    d = tree
+    for k in path:
+        d = d[k]
+    return d
+
+
+def export_state_dict(params: dict, template: dict, arch: str,
+                      block_num=(4, 4)) -> dict:
+    """flax params -> torch-layout state_dict (numpy values).
+
+    ``template`` gives the target key set and tensor shapes — take it from
+    a freshly constructed reference net's ``state_dict()``. Keys that the
+    import path skips (fixed haar buffers, surrogate subtrees) are passed
+    through from the template unchanged. This is the inverse of
+    ``import_state_dict`` and lets the reference stack run with weights
+    trained here (parity protocol, reference README.md:61-78).
+    """
+    out = {}
+    for k, tv in template.items():
+        tshape = tuple(tv.shape)
+        path = map_reference_key(k, arch, block_num)
+        if path is None:
+            out[k] = np.asarray(
+                tv.detach().cpu().numpy() if hasattr(tv, "detach") else tv
+            )
+            continue
+        ours = np.asarray(_get(params, path), np.float32)
+        conv = np.asarray(invert_tensor(tshape, ours), np.float32)
+        if conv.shape != tshape:
+            raise ValueError(
+                f"{k}: exported shape {conv.shape} != template {tshape}"
+            )
+        out[k] = conv
+    return out
+
+
 def load_pth(path: str, arch: str, block_num=(4, 4)) -> dict:
     import torch
 

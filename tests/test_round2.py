@@ -443,3 +443,36 @@ class TestCodecSingleEncode:
             jnp.float32(16),
         )
         assert f_step <= f_mono - 0.5 * f_enc, (f_step, f_mono, f_enc)
+
+
+class TestTorchExport:
+    """export_state_dict is the exact inverse of import_state_dict, so
+    weights trained here can drive the reference stack (parity protocol)."""
+
+    def test_import_export_roundtrip(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from conftest import install_reference_stubs
+
+        install_reference_stubs()
+        import global_var
+
+        global_var.GlobalVar.set_Temporal_LEN(3)
+        global_var.GlobalVar.set_Istrain(True)
+        from models.modules.SelfC_GMM_arch_inv import SelfCInvNet
+
+        from selfc_tpu.utils.torch_import import (
+            export_state_dict,
+            import_state_dict,
+        )
+
+        opt = {"global_module": "nonlocal", "stp_blk_num": 3,
+               "fh_loss": "gmm", "scale": 4, "gmm_k": 2}
+        tnet = SelfCInvNet(opt, 3, 3, "D2DTNet", [1, 1], 2).eval()
+        sd = tnet.state_dict()
+        params = import_state_dict(sd, "gmm", (1, 1))
+        back = export_state_dict(params, sd, "gmm", (1, 1))
+        assert set(back) == set(sd)
+        for k, v in sd.items():
+            np.testing.assert_array_equal(back[k], v.detach().numpy(), err_msg=k)
