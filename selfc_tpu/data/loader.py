@@ -47,6 +47,10 @@ def create_dataset(dataset_opt):
         from .image_datasets import LQGTDataset
 
         return LQGTDataset(dataset_opt)
+    if mode == "LRHR_seg_bg":
+        from .image_datasets import LRHRSegBGDataset
+
+        return LRHRSegBGDataset(dataset_opt)
     raise NotImplementedError(f"dataset mode {mode!r} not recognized")
 
 

@@ -55,6 +55,54 @@ def read_img(path: str) -> np.ndarray:
     return img
 
 
+# ---------------------------------------------------------------------------
+# lmdb read path (reference data/util.py:34-55, 91-99). The reference keeps
+# an lmdb branch for image datasets (dead in every shipped config). It is
+# supported here behind a lazy import: environments without the lmdb module
+# get a clear error only if a config actually selects data_type: lmdb.
+# ---------------------------------------------------------------------------
+
+
+def get_paths_from_lmdb(dataroot: str):
+    """Keys + resolutions from the lmdb's meta_info.pkl
+    (reference _get_paths_from_lmdb, data/util.py:34-41)."""
+    import pickle
+
+    with open(os.path.join(dataroot, "meta_info.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    paths = meta["keys"]
+    sizes = meta["resolution"]
+    if len(sizes) == 1:
+        sizes = sizes * len(paths)
+    return paths, sizes
+
+
+def open_lmdb(dataroot: str):
+    """Read-only lmdb environment (lazy import; informative failure)."""
+    try:
+        import lmdb
+    except ImportError as e:  # pragma: no cover - module absent in image
+        raise ImportError(
+            "data_type 'lmdb' requires the lmdb module, which is not "
+            "installed in this environment; use data_type 'img'"
+        ) from e
+    return lmdb.open(dataroot, readonly=True, lock=False, readahead=False,
+                     meminit=False)
+
+
+def read_img_lmdb(env, key: str, size) -> np.ndarray:
+    """Decode one (C,H,W)-sized uint8 image blob from lmdb to BGR float32
+    HWC in [0,1] (reference _read_img_lmdb, data/util.py:91-99)."""
+    with env.begin(write=False) as txn:
+        buf = txn.get(key.encode("ascii"))
+    c, h, w = size
+    img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+    out = img.astype(np.float32) / 255.0
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
 def augment(img: np.ndarray, hflip: bool, vflip: bool, rot90: bool):
     """(H,W,C); same flips/transpose as reference data/util.py:150-165."""
     if hflip:

@@ -52,8 +52,6 @@ class SelfCNetGMM(nn.Module):
     # the snapshot disables the forward conditional NLL (reference :466-468);
     # set True to restore the paper's loss_c term.
     nll_enabled: bool = False
-    # rematerialize each coupling block in the backward pass (memory saver)
-    remat: bool = False
     # compile the coupling chain as one lax.scan over stacked block params
     # (big compile-time cut; param layout changes to blocks/... stacked —
     # convert existing trees with utils.torch_import.stack_block_params)
@@ -75,12 +73,8 @@ class SelfCNetGMM(nn.Module):
             )
             self.inv_blocks = []
         else:
-            blk_cls = (
-                nn.remat(InvBlockExp, static_argnums=(2,)) if self.remat
-                else InvBlockExp
-            )
             self.inv_blocks = [
-                blk_cls(self.latent_channels, 3, ctor)
+                InvBlockExp(self.latent_channels, 3, ctor)
                 for _ in range(sum(self.block_num))
             ]
         self.stp_net = STPNet(

@@ -259,13 +259,17 @@ def chain_v2_enabled() -> bool:
 
 
 def _pick_tile_h_v2(H: int, lanes: int) -> int | None:
-    for th in (24, 16, 12, 8, 6, 4):
+    order = (24, 16, 12, 8, 6, 4)
+    forced = os.environ.get("SELFC_TPU_TILE_H", "")
+    if forced:
+        order = (int(forced),)
+    for th in order:
         if H % th != 0:
             continue
         work = (th + 8) * 192 * lanes * 2
         slot = 3 * th * 192 * lanes * 2
         part = (th + 6) * 192 * 128 * 4
-        if work + slot + part < 11 * 2 ** 20:
+        if work + slot + part < 48 * 2 ** 20:
             return th
     return None
 
@@ -428,6 +432,269 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
     return out
 
 
+# ===========================================================================
+# v3: v2 + dy-packed contractions for the low-K convs
+# ===========================================================================
+#
+# v2 runs every spatial conv as 3 dy-accumulated dots. At the chain's small
+# contraction sizes that wastes MXU passes: conv1 (K=X<=64) occupies a
+# fraction of the 128 sublanes three times over. v3 keeps a SECOND work
+# buffer whose lanes hold dy-triplets of the early features
+# ([x@-1 | x@0 | x@+1 | x1@-1 | ...]) so conv_i (i <= pack depth P) runs as
+# ONE dot with K = 3*K_i. Packing is applied exactly where it reduces MXU
+# passes (ceil arithmetic below): P=2 for X=32 chains (passes 12 -> 9),
+# P=4 for X=64 (15 -> 12). The triplet buffer costs three row-shifted
+# writes per packed feature — cheap VPU copies vs the saved passes.
+
+
+def chain_v3_enabled() -> bool:
+    """dy-packed kernel gate — DEFAULT OFF: measured on v5e, the dy-triplet
+    buffer's row-shifted writes cost more than the saved MXU passes
+    (0.72-0.91x vs v2 at matched tile size; see docs/PERF.md). Kept as an
+    opt-in experiment: SELFC_TPU_PALLAS_V3=1 enables."""
+    return os.environ.get("SELFC_TPU_PALLAS_V3", "") == "1"
+
+
+def _passes(k: int) -> int:
+    return -(-k // 128)
+
+
+def _pick_pack_depth(X: int) -> int:
+    """Deepest conv i whose dy-packed dot takes fewer MXU passes than three
+    dy dots; convs above it read the plain (work_s) buffer."""
+    P = 0
+    for i in range(1, 5):
+        k = X + GC * (i - 1)
+        if _passes(3 * k) < 3 * _passes(k):
+            P = i
+    return P
+
+
+def _pick_tile_h_v3(H: int, X: int, P: int) -> int | None:
+    lanes_s = X + 4 * GC
+    lanes_p = 3 * (X + GC * (P - 1)) if P else 0
+    order = (48, 36, 24, 16, 12, 8, 6, 4)
+    forced = os.environ.get("SELFC_TPU_TILE_H", "")
+    if forced:
+        order = (int(forced),)
+    for th in order:
+        if H % th != 0:
+            continue
+        work_s = (th + 8) * 192 * lanes_s * 2
+        work_p = (th + 8) * 192 * lanes_p * 2
+        slot = 3 * th * 192 * lanes_s * 2
+        part = (th + 6) * 192 * 128 * 4
+        if work_s + work_p + slot + part < 48 * 2 ** 20:
+            return th
+    return None
+
+
+def chain_v3_shapes_ok(T: int, H: int, W: int, C: int, c_out: int) -> bool:
+    X = _round_up(C, GC)
+    th = _pick_tile_h_v3(H, X, _pick_pack_depth(X))
+    return th is not None and W % 16 == 0
+
+
+def _prep_weight_packed(w, C: int, X: int):
+    """(3, 3, Cin, GC) -> (3*X + 3*(Cin-C), 3*GC): rows ordered
+    feature-major then dy ([x@dy0 | x@dy1 | x@dy2 | x1@dy0 | ...]) to match
+    the v3 triplet work buffer's lane layout."""
+    wt = _prep_weight(w, C, X)  # (3, X + (Cin - C), 3*GC)
+    Xin = wt.shape[1]
+    bounds = [0, X] + [X + GC * j for j in range(1, (Xin - X) // GC + 1)]
+    segs = []
+    for f in range(len(bounds) - 1):
+        for dy in range(3):
+            segs.append(wt[dy, bounds[f]:bounds[f + 1]])
+    return jnp.concatenate(segs, axis=0)  # (3*Xin, 3*GC)
+
+
+def _chain_kernel_v3(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
+                     work, work_p, slots, *, TH, W, WP, X, H, T, P, slope):
+    i_tile = pl.program_id(1)
+    t = pl.program_id(2)
+    f32 = jnp.float32
+    Xp = X + 4 * GC
+    w_refs = (w1, w2, w3, w4)
+
+    @pl.when(t == 0)
+    def _zero_slots():
+        slots[...] = jnp.zeros_like(slots)
+
+    @pl.when(t < T)
+    def _compute():
+        # plain (shift-0) buffer: x at lanes [0, X) — x_ref rows are padded
+        # by 5 so its shift-0 window is rows [1, TH+9)
+        work[:, :, :X] = x_ref[0, 0, 1:TH + 9]
+        work[:, 0:1, X:] = jnp.zeros((TH + 8, 1, 4 * GC), work.dtype)
+        work[:, W + 1:WP, X:] = jnp.zeros((TH + 8, WP - W - 1, 4 * GC),
+                                          work.dtype)
+        if P:
+            # dy-triplet buffer: segment s of feature f at row r holds
+            # f[r + s - 1]; x segments fill straight from the padded window
+            for s in range(3):
+                work_p[:, :, s * X:(s + 1) * X] = x_ref[0, 0, s:TH + 8 + s]
+            if P > 1:
+                work_p[:, 0:1, 3 * X:] = jnp.zeros(
+                    (TH + 8, 1, 3 * GC * (P - 1)), work_p.dtype
+                )
+                work_p[:, W + 1:WP, 3 * X:] = jnp.zeros(
+                    (TH + 8, WP - W - 1, 3 * GC * (P - 1)), work_p.dtype
+                )
+        for i in range(1, 5):
+            kin = X + GC * (i - 1)
+            ri0 = i - 1
+            ro0, ro1 = i, TH + 8 - i
+            r_out = ro1 - ro0
+            if i <= P:
+                # one packed dot: K = 3*kin over the triplet lanes
+                inp = work_p[ri0 + 1:ri0 + 1 + r_out, :, :3 * kin].reshape(
+                    r_out * WP, 3 * kin
+                )
+                part = jax.lax.dot_general(
+                    inp, w_refs[i - 1][...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            else:
+                w = w_refs[i - 1]
+                part = None
+                for dy in range(3):
+                    inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                        r_out * WP, kin
+                    )
+                    d = jax.lax.dot_general(
+                        inp, w[dy],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    part = d if part is None else part + d
+            part = part.reshape(r_out, WP, 3 * GC)
+            acc = jnp.broadcast_to(b_ref[i - 1].astype(f32), (r_out, W, GC))
+            for dx in range(3):
+                acc = acc + part[:, dx:dx + W, GC * dx:GC * (dx + 1)]
+            acc = jnp.where(acc >= 0, acc, slope * acc)
+            h0 = i_tile * TH + i - 4
+            rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
+            acc = jnp.where((rr >= 0) & (rr < H), acc, 0.0)
+            accw = acc.astype(work.dtype)
+            work[ro0:ro1, 1:W + 1, X + GC * (i - 1):X + GC * i] = accw
+            if i < P:
+                # feed the triplet buffer: segment s rows r = x_i[r + s - 1]
+                base = 3 * X + 3 * GC * (i - 1)
+                for s in range(3):
+                    lo = ro0 - s + 1
+                    hi = ro1 - s + 1
+                    a0, a1 = 0, r_out
+                    if lo < 0:
+                        a0, lo = -lo, 0
+                    if hi > TH + 8:
+                        a1, hi = a1 - (hi - (TH + 8)), TH + 8
+                    work_p[lo:hi, 1:W + 1, base + GC * s:base + GC * (s + 1)] = (
+                        accw[a0:a1]
+                    )
+        for s in range(3):
+            @pl.when(t % 3 == s)
+            def _deposit(s=s):
+                slots[:, :, s * Xp:(s + 1) * Xp] = work[4:TH + 4]
+
+    @pl.when(t == T)
+    def _zero_future_slot():
+        for s in range(3):
+            @pl.when(t % 3 == s)
+            def _z(s=s):
+                slots[:, :, s * Xp:(s + 1) * Xp] = jnp.zeros(
+                    (TH, WP, Xp), slots.dtype
+                )
+
+    phase = t % 3
+    inp5 = slots[...].reshape(TH * WP, 3 * Xp)
+    w5p = w5_ref[pl.ds(phase, 1)][0]
+    y5 = jax.lax.dot_general(
+        inp5, w5p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(TH, WP, -1)
+    y5 = y5 + b5_ref[0].astype(f32)
+    o_ref[0, 0] = y5[:, 1:W + 1].astype(o_ref.dtype)
+
+
+def _pallas_impl_v3(x, ws, bs, w5, b5):
+    """v2 semantics, dy-packed low-K convs. Same signature/result as v2."""
+    B, T, H, W, C = x.shape
+    X = _round_up(C, GC)
+    P = _pick_pack_depth(X)
+    c_out = w5.shape[-1]
+    TH = _pick_tile_h_v3(H, X, P)
+    WP = _round_up(W + 2, 16)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (5, 5), (1, WP - W - 1), (0, X - C)))
+    wps = [
+        _prep_weight_packed(w.astype(x.dtype), C, X) if i < P
+        else _prep_weight(w.astype(x.dtype), C, X)
+        for i, w in enumerate(ws)
+    ]
+    bss = jnp.stack([b.astype(jnp.float32) for b in bs])  # (4, GC)
+    w5p = _prep_w5_v2(w5.astype(x.dtype), C, X, c_out)
+    b5p = b5.astype(jnp.float32).reshape(1, -1)
+
+    kernel = partial(
+        _chain_kernel_v3, TH=TH, W=W, WP=WP, X=X, H=H, T=T, P=P, slope=0.2
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (pl.Element(1), pl.Element(1), pl.Element(TH + 10),
+             pl.Element(WP), pl.Element(X)),
+            lambda b, i, t: (b, jnp.minimum(t, T - 1), i * TH, 0, 0),
+        ),
+    ]
+    for k in range(4):
+        if k < P:
+            in_specs.append(
+                pl.BlockSpec((3 * (X + GC * k), 3 * GC),
+                             lambda b, i, t: (0, 0))
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec((3, X + GC * k, 3 * GC),
+                             lambda b, i, t: (0, 0, 0))
+            )
+    in_specs += [
+        pl.BlockSpec((4, GC), lambda b, i, t: (0, 0)),
+        pl.BlockSpec((3, 3 * (X + 4 * GC), c_out),
+                     lambda b, i, t: (0, 0, 0)),
+        pl.BlockSpec((1, c_out), lambda b, i, t: (0, 0)),
+    ]
+    lanes_p = 3 * (X + GC * (P - 1)) if P else 3 * X
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // TH, T + 1),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, TH, W, c_out),
+            lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, WP, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH + 8, WP, lanes_p), x.dtype),
+            pltpu.VMEM((TH, WP, 3 * (X + 4 * GC)), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *wps, bss, w5p, b5p)
+    return out
+
+
+def _impl_best(x, ws, bs, w5, b5):
+    B, T, H, W, C = x.shape
+    if chain_v3_enabled() and chain_v3_shapes_ok(T, H, W, C, w5.shape[-1]):
+        return _pallas_impl_v3(x, ws, bs, w5, b5)
+    return _pallas_impl_v2(x, ws, bs, w5, b5)
+
+
 def _xla_impl_v2(x, ws, bs, w5, b5):
     """XLA oracle/backward for the full chain incl. temporal conv5."""
     from .conv import temporal_conv3
@@ -441,11 +708,11 @@ def _xla_impl_v2(x, ws, bs, w5, b5):
 
 @jax.custom_vjp
 def fused_dense_chain_t(x, ws, bs, w5, b5):
-    return _pallas_impl_v2(x, ws, bs, w5, b5)
+    return _impl_best(x, ws, bs, w5, b5)
 
 
 def _fdc_fwd(x, ws, bs, w5, b5):
-    return _pallas_impl_v2(x, ws, bs, w5, b5), (x, ws, bs, w5, b5)
+    return _impl_best(x, ws, bs, w5, b5), (x, ws, bs, w5, b5)
 
 
 def _fdc_bwd(res, g):

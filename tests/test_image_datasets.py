@@ -51,6 +51,71 @@ def test_lq_only(tmp_path):
     assert ds[0]["LQ"].shape == (24, 24, 3)
 
 
+def test_lrhr_seg_bg_train(tmp_path):
+    # HR tree with /img/ + /bicseg/ seg maps; plus a background pool
+    img_d = tmp_path / "ost" / "img" / "water"
+    _write_images(img_d, n=2, hw=96)
+    seg_d = tmp_path / "ost" / "bicseg" / "water"
+    seg_d.mkdir(parents=True)
+    for i in range(2):
+        seg = np.zeros((8, 96, 96), np.float32)
+        seg[4] = 1.0
+        np.save(str(seg_d / f"img{i}.npy"), seg)
+    _write_images(tmp_path / "bg", n=2, hw=96)
+
+    ds = create_dataset(dict_to_nonedict({
+        "mode": "LRHR_seg_bg", "phase": "train",
+        "dataroot_GT": str(tmp_path / "ost" / "img"),
+        "dataroot_LR": None,
+        "dataroot_GT_bg": str(tmp_path / "bg"),
+        "scale": 4, "HR_size": 64, "use_flip": True, "use_rot": True,
+    }))
+    assert len(ds) == 2
+    ds.rng.seed(3)
+    item = ds[0]
+    assert item["HR"].shape == (64, 64, 3)
+    assert item["LR"].shape == (16, 16, 3)
+    assert item["seg"].shape == (64, 64, 8)
+    if "water" in item["HR_path"]:
+        assert item["category"] == 4  # 'water' (ref LRHR_seg_bg:114-115)
+        assert item["seg"][..., 4].max() == 1.0
+    else:  # background draw
+        assert item["category"] == 0
+
+
+def test_lrhr_seg_bg_val_modcrop(tmp_path):
+    img_d = tmp_path / "img"
+    _write_images(img_d, n=1, hw=67)  # not a multiple of 8 -> modcrop
+    ds = create_dataset(dict_to_nonedict({
+        "mode": "LRHR_seg_bg", "phase": "val",
+        "dataroot_GT": str(img_d), "dataroot_LR": None,
+        "dataroot_GT_bg": None, "scale": 4,
+    }))
+    item = ds[0]
+    assert item["HR"].shape == (64, 64, 3)
+    assert item["seg"].shape == (64, 64, 8)
+    assert item["seg"][..., 0].min() == 1.0  # missing map -> background
+    assert item["category"] == -1
+
+
+def test_lmdb_meta_and_gate(tmp_path):
+    import pickle
+
+    from selfc_tpu.data import util as dutil
+
+    with open(tmp_path / "meta_info.pkl", "wb") as f:
+        pickle.dump({"keys": ["a", "b"], "resolution": ["3_64_64"]}, f)
+    paths, sizes = dutil.get_paths_from_lmdb(str(tmp_path))
+    assert paths == ["a", "b"]
+    assert sizes == ["3_64_64", "3_64_64"]  # broadcast rule (util.py:39-40)
+
+    try:
+        import lmdb  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="data_type 'lmdb'"):
+            dutil.open_lmdb(str(tmp_path))
+
+
 def test_progress_bar(capsys):
     from selfc_tpu.utils.logger import ProgressBar
 

@@ -155,3 +155,44 @@ def test_v2_shape_gate():
     assert chain_v2_shapes_ok(7, 144, 176, 51, 48)
     assert not chain_v2_shapes_ok(7, 145, 176, 51, 48)  # no usable tile
     assert not chain_v2_shapes_ok(7, 144, 177, 51, 48)  # W not 16-aligned
+
+
+# --------------------------------------------------------------------------
+# v3: dy-packed low-K contractions
+# --------------------------------------------------------------------------
+
+from selfc_tpu.ops.pallas_chain import (  # noqa: E402
+    _pallas_impl_v3,
+    _pick_pack_depth,
+    chain_v3_shapes_ok,
+)
+
+
+def test_v3_pack_depth():
+    assert _pick_pack_depth(32) == 2   # conv1 3->1 passes, conv2 3->2
+    assert _pick_pack_depth(64) == 4   # conv4 K=160: 6->4 passes
+
+
+@pytest.mark.parametrize(
+    "shape,c_out",
+    [
+        ((1, 7, 24, 32, 3), 48),   # X=32, P=2; full slot rotation
+        ((2, 3, 24, 32, 48), 3),   # X=64, P=4; multi-batch, tiny Cout
+        ((1, 1, 12, 16, 64), 64),  # T=1 edge
+        ((1, 2, 12, 16, 51), 12),  # unaligned C
+        ((1, 2, 48, 32, 3), 48),   # multi-tile H -> triplet halo/edge rows
+    ],
+)
+def test_v3_kernel_matches_xla(shape, c_out):
+    rng = np.random.default_rng(0)
+    C = shape[-1]
+    ws, bs, w5, b5 = _mk_chain_v2(rng, C, c_out)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    want = _xla_impl_v2(x, ws, bs, w5, b5)
+    got = _pallas_impl_v3(x, ws, bs, w5, b5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_v3_shape_gate():
+    assert chain_v3_shapes_ok(7, 144, 176, 51, 48)
+    assert not chain_v3_shapes_ok(7, 145, 176, 51, 48)

@@ -476,3 +476,33 @@ class TestTorchExport:
         assert set(back) == set(sd)
         for k, v in sd.items():
             np.testing.assert_array_equal(back[k], v.detach().numpy(), err_msg=k)
+
+
+class TestRematRoundtrip:
+    def test_remat_step_matches_plain(self):
+        """network_G.remat now wraps the WHOLE roundtrip in jax.checkpoint
+        at the train-step level (the round-1 per-block nn.remat was ~85x
+        pathological); gradients and the resulting step must be identical
+        to the non-remat step."""
+        from selfc_tpu.train.rescale_model import RescaleModel
+
+        hr = jnp.asarray(
+            np.random.default_rng(0).random((1, 3, 32, 32, 3)), jnp.float32
+        )
+        stepped = {}
+        for remat in (False, True):
+            opt = _gmm_opt()
+            opt["network_G"]["remat"] = remat
+            m = RescaleModel(opt)
+            p, s, logs = m._train_step(
+                m.params, m.opt_state, hr,
+                jnp.float32(1e-4), jnp.int32(0),
+            )
+            stepped[remat] = (p, float(logs["loss"]))
+        assert np.isfinite(stepped[True][1])
+        assert abs(stepped[True][1] - stepped[False][1]) < 1e-3
+        for a, b in zip(jax.tree.leaves(stepped[True][0]),
+                        jax.tree.leaves(stepped[False][0])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )

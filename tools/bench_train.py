@@ -5,8 +5,9 @@
 Chains N full optimizer steps (params/opt_state carried through a
 fori_loop, same batch re-fed) and reads back a scalar; sec/step is the
 slope between two chain lengths, cancelling dispatch/readback latency.
-Reports remat off / remat on so the nn.remat flag's real cost is on
-record (VERDICT round-1 weak #3).
+Reports remat off / remat on so the remat flag's real cost is on record
+(VERDICT round-1 weak #3; remat is now whole-roundtrip jax.checkpoint at
+the train-step level — the per-block nn.remat was pathological).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train.py
        [--remat-only] [--no-remat]
