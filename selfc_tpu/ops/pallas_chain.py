@@ -258,8 +258,17 @@ def chain_v2_enabled() -> bool:
     return chain_fused_enabled()
 
 
-def _pick_tile_h_v2(H: int, lanes: int) -> int | None:
-    order = (24, 16, 12, 8, 6, 4)
+def _pick_tile_h_v2(H: int, lanes: int, c_out: int = 48) -> int | None:
+    # Preference measured on v5e at the flagship shapes (tools/bench_tiles):
+    # 36-row tiles win for the 3->48 chains and wide-output 64-ch chains;
+    # 24 wins for the narrow-output (c_out<=8) F chain whose conv5 slot dot
+    # is tiny. Larger tiles amortize the 8-row halo recompute.
+    if lanes <= 160:  # X = 32
+        order = (36, 24, 16, 12, 8, 6, 4)
+    elif c_out <= 8:
+        order = (24, 36, 16, 12, 8, 6, 4)
+    else:
+        order = (36, 24, 16, 12, 8, 6, 4)
     forced = os.environ.get("SELFC_TPU_TILE_H", "")
     if forced:
         order = (int(forced),)
@@ -276,7 +285,7 @@ def _pick_tile_h_v2(H: int, lanes: int) -> int | None:
 
 def chain_v2_shapes_ok(T: int, H: int, W: int, C: int, c_out: int) -> bool:
     X = _round_up(C, GC)
-    th = _pick_tile_h_v2(H, X + 4 * GC)
+    th = _pick_tile_h_v2(H, X + 4 * GC, c_out)
     return th is not None and W % 16 == 0
 
 
@@ -300,7 +309,12 @@ def _prep_w5_v2(w5, C: int, X: int, c_out: int):
 
 
 def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
-                     work, slots, *, TH, W, WP, X, H, T, slope):
+                     work, slots, *, TH, W, X, H, T, slope):
+    # Column handling: the work buffer is exactly W wide (W % 16 == 0 by
+    # the shape gate) — the dx taps at the image edges are resolved by
+    # CLIPPED adds in the assembly below instead of zero-padded columns.
+    # That removes the old round-up-to-192 column pad from every MXU dot
+    # (~8% of dot rows at the flagship W=176).
     i_tile = pl.program_id(1)
     t = pl.program_id(2)
     f32 = jnp.float32
@@ -315,9 +329,6 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
     def _compute():
         # identical spatial-chain scheme to the v1 kernel
         work[:, :, :X] = x_ref[0, 0]
-        work[:, 0:1, X:] = jnp.zeros((TH + 8, 1, 4 * GC), work.dtype)
-        work[:, W + 1:WP, X:] = jnp.zeros((TH + 8, WP - W - 1, 4 * GC),
-                                          work.dtype)
         for i in range(1, 5):
             kin = X + GC * (i - 1)
             ri0 = i - 1
@@ -327,7 +338,7 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
             part = None
             for dy in range(3):
                 inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
-                    r_out * WP, kin
+                    r_out * W, kin
                 )
                 d = jax.lax.dot_general(
                     inp, w[dy],
@@ -335,15 +346,22 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
                     preferred_element_type=f32,
                 )
                 part = d if part is None else part + d
-            part = part.reshape(r_out, WP, 3 * GC)
-            acc = jnp.broadcast_to(b_ref[i - 1].astype(f32), (r_out, W, GC))
-            for dx in range(3):
-                acc = acc + part[:, dx:dx + W, GC * dx:GC * (dx + 1)]
+            part = part.reshape(r_out, W, 3 * GC)
+            # acc[:, w] = sum_dx part[:, w + dx - 1, seg dx]; edge taps fall
+            # on zero padding in the old scheme -> rolled + masked here
+            # (tpu.rotate on the sublane dim; the wrapped column is zeroed)
+            ww = jax.lax.broadcasted_iota(jnp.int32, (r_out, W, 1), 1)
+            a0 = pltpu.roll(part[:, :, 0:GC], 1, 1)
+            a0 = jnp.where(ww >= 1, a0, 0.0)
+            a2 = pltpu.roll(part[:, :, 2 * GC:3 * GC], W - 1, 1)
+            a2 = jnp.where(ww <= W - 2, a2, 0.0)
+            acc = a0 + part[:, :, GC:2 * GC] + a2
+            acc = acc + b_ref[i - 1].astype(f32)
             acc = jnp.where(acc >= 0, acc, slope * acc)
             h0 = i_tile * TH + i - 4
             rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
             acc = jnp.where((rr >= 0) & (rr < H), acc, 0.0)
-            work[ro0:ro1, 1:W + 1, X + GC * (i - 1):X + GC * i] = (
+            work[ro0:ro1, :, X + GC * (i - 1):X + GC * i] = (
                 acc.astype(work.dtype)
             )
         # deposit this frame's inner rows (one contiguous copy: the work
@@ -360,22 +378,22 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
             @pl.when(t % 3 == s)
             def _z(s=s):
                 slots[:, :, s * Xp:(s + 1) * Xp] = jnp.zeros(
-                    (TH, WP, Xp), slots.dtype
+                    (TH, W, Xp), slots.dtype
                 )
 
     # out(t-1): one dot over all three slots with the phase-selected weight
     phase = t % 3
-    inp5 = slots[...].reshape(TH * WP, 3 * Xp)
+    inp5 = slots[...].reshape(TH * W, 3 * Xp)
     w5p = w5_ref[pl.ds(phase, 1)][0]
     y5 = jax.lax.dot_general(
         inp5, w5p,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
-    ).reshape(TH, WP, -1)
+    ).reshape(TH, W, -1)
     y5 = y5 + b5_ref[0].astype(f32)
     # at t==0 (warm-up step) this writes a partial out(0); t==1 overwrites
     # the same block with the complete value before it flushes.
-    o_ref[0, 0] = y5[:, 1:W + 1].astype(o_ref.dtype)
+    o_ref[0, 0] = y5.astype(o_ref.dtype)
 
 
 def _pallas_impl_v2(x, ws, bs, w5, b5):
@@ -384,17 +402,16 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
     B, T, H, W, C = x.shape
     X = _round_up(C, GC)
     c_out = w5.shape[-1]
-    TH = _pick_tile_h_v2(H, X + 4 * GC)
-    WP = _round_up(W + 2, 16)
+    TH = _pick_tile_h_v2(H, X + 4 * GC, c_out)
 
-    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, WP - W - 1), (0, X - C)))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (0, 0), (0, X - C)))
     wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
     bss = jnp.stack([b.astype(jnp.float32) for b in bs])  # (4, GC)
     w5p = _prep_w5_v2(w5.astype(x.dtype), C, X, c_out)
     b5p = b5.astype(jnp.float32).reshape(1, -1)
 
     kernel = partial(
-        _chain_kernel_v2, TH=TH, W=W, WP=WP, X=X, H=H, T=T, slope=0.2
+        _chain_kernel_v2, TH=TH, W=W, X=X, H=H, T=T, slope=0.2
     )
     out = pl.pallas_call(
         kernel,
@@ -403,7 +420,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
         in_specs=[
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(1), pl.Element(TH + 8),
-                 pl.Element(WP), pl.Element(X)),
+                 pl.Element(W), pl.Element(X)),
                 lambda b, i, t: (b, jnp.minimum(t, T - 1), i * TH, 0, 0),
             ),
             *[
@@ -421,8 +438,8 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
             lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TH + 8, WP, X + 4 * GC), x.dtype),
-            pltpu.VMEM((TH, WP, 3 * (X + 4 * GC)), x.dtype),
+            pltpu.VMEM((TH + 8, W, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH, W, 3 * (X + 4 * GC)), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20,

@@ -42,6 +42,12 @@ class RescaleModel:
     """Training/eval wrapper for SelfC_GMM / SelfC / IRN model types."""
 
     def __init__(self, opt, mesh=None, rng_seed: int = 0):
+        import os as _os
+
+        # SELFC_TPU_EVAL_SEED varies the sample-PRNG stream (the GMM prior
+        # draws at eval; reference used CUDA-global noise) so eval noise
+        # can be bounded by repeated runs.
+        rng_seed = int(_os.environ.get("SELFC_TPU_EVAL_SEED", rng_seed))
         self.opt = opt
         self.is_train = bool(opt["is_train"])
         self.train_opt = opt["train"] or {}
