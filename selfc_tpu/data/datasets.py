@@ -125,6 +125,8 @@ def _elastic_deform_np(img: np.ndarray, rng: np.random.Generator,
         ],
         axis=-1,
     )
+    # cubic spline resampling overshoots at sharp edges; frames are [0,1]
+    np.clip(out, 0.0, 1.0, out=out)
     return out.astype(img.dtype, copy=False)
 
 

@@ -132,7 +132,11 @@ class DenseChain(nn.Module):
     kmid: str = "s"  # conv2-4 flavor ('f' for DenseBlock3D)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ep=None):
+        """ep: optional fused coupling epilogue ``(mode, clamp, a, m)``
+        applied to the chain output (see ops.pallas_chain.ep_apply) — used
+        by InvBlockExp to keep the coupling arithmetic inside the kernel.
+        Only valid for non-residual chains."""
         grow = _w_init(self.init_mode, "grow")
         proj = _w_init(self.init_mode, "proj")
         cin, gc, km = self.c_in, self.gc, self.kmid
@@ -142,6 +146,18 @@ class DenseChain(nn.Module):
             for i in range(4)
         ]
         conv5 = _ConvP(cin + 4 * gc, self.c_out, self.k5, proj, name="conv5")
+        if ep is not None and self.is_res:
+            raise ValueError("ep epilogue requires is_res=False")
+
+        if ep is not None and self._fused_v2_ok(x, conv5):
+            from ..ops.pallas_chain import fused_dense_chain_t_ep
+
+            ws, bs = zip(*(c.weights() for c in convs))
+            w5, b5 = conv5.weights()
+            mode, clamp, a, m = ep
+            return fused_dense_chain_t_ep(
+                x, tuple(ws), tuple(bs), w5, b5, mode, clamp, a, m
+            )
 
         if self._fused_ok(x):
             x5 = self._fused(x, convs, conv5)
@@ -156,6 +172,11 @@ class DenseChain(nn.Module):
             x5 = conv5(jnp.concatenate([x, x1, x2, x3, x4], -1))
         if self.is_res:
             x5 = x5 + x
+        if ep is not None:
+            from ..ops.pallas_chain import ep_apply
+
+            mode, clamp, a, m = ep
+            x5 = ep_apply(x5, mode, clamp, a, m)
         return x5
 
     def _fused_ok(self, x) -> bool:
@@ -248,6 +269,8 @@ class DenseBlock2D(nn.Module):
 class D2DT(nn.Module):
     """2D-spatial + 1D-temporal dense block (reference D2DTInput, :98-133)."""
 
+    SUPPORTS_EP = True  # InvBlockExp may pass a fused coupling epilogue
+
     c_in: int
     c_out: int
     gc: int = 32
@@ -255,11 +278,11 @@ class D2DT(nn.Module):
     is_res: bool = False
 
     @nn.compact
-    def __call__(self, x):  # (B,T,H,W,C)
+    def __call__(self, x, ep=None):  # (B,T,H,W,C)
         return DenseChain(
             self.c_in, self.c_out, self.gc, "s", "t", self.init_mode, self.is_res,
             name="chain",
-        )(x)
+        )(x, ep=ep)
 
 
 class ResD2DT(nn.Module):

@@ -74,7 +74,32 @@ class InvBlockExp(nn.Module):
         H = self.subnet_ctor(s1, s2, name="H")
 
         x1, x2 = x[..., :s1], x[..., s1:]
-        if not rev:
+        # When the subnets are D2DT dense chains, the coupling arithmetic
+        # rides the chain kernels as fused epilogues: s never materializes
+        # (H emits exp(+-s) directly) and the y1/y2 combines happen on the
+        # conv5 accumulator — no extra HBM round-trips between the three
+        # chains of a block. Identical math either way; jac is recovered as
+        # sum(log(exp(s))).
+        from ..ops.pallas_chain import chain_v2_enabled, chain_v2_shapes_ok
+
+        use_ep = (
+            getattr(type(F), "SUPPORTS_EP", False)
+            and x.ndim == 5
+            and chain_v2_enabled()
+            and chain_v2_shapes_ok(x.shape[1], x.shape[2], x.shape[3], s1, s2)
+            and chain_v2_shapes_ok(x.shape[1], x.shape[2], x.shape[3], s2, s1)
+        )
+        if use_ep and not rev:
+            y1 = F(x2, ep=("add", 1.0, x1, None))
+            s_exp = H(y1, ep=("sig_exp", self.clamp, None, None))
+            y2 = G(y1, ep=("mul_add", 1.0, x2, s_exp))
+            jac = jnp.sum(jnp.log(s_exp))
+        elif use_ep:
+            s_exp_n = H(x1, ep=("sig_exp_neg", self.clamp, None, None))
+            y2 = G(x1, ep=("sub_mul", 1.0, x2, s_exp_n))
+            y1 = F(y2, ep=("sub_from", 1.0, x1, None))
+            jac = jnp.sum(jnp.log(s_exp_n))
+        elif not rev:
             y1 = x1 + F(x2)
             s = self.clamp * (2.0 * jax.nn.sigmoid(H(y1)) - 1.0)
             y2 = x2 * jnp.exp(s) + G(y1)

@@ -308,8 +308,52 @@ def _prep_w5_v2(w5, C: int, X: int, c_out: int):
     return jnp.stack(rows)  # (3, 3*Xp, Cout)
 
 
-def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
-                     work, slots, *, TH, W, X, H, T, slope):
+# Coupling epilogues fused onto conv5's fp32 accumulator. These absorb the
+# InvBlockExp glue arithmetic (reference SelfC_GMM_arch_inv.py:18-34) into
+# the chain kernel so s/exp(s) and the y1/y2 combines never round-trip HBM:
+#   add       y = a + y5              (fwd y1 = x1 + F(x2))
+#   sub_from  y = a - y5              (rev y1 = x1 - F(y2))
+#   sig_exp   y = exp(+c*(2sig-1))    (fwd scale exp(s) from H)
+#   sig_exp_neg y = exp(-c*(2sig-1))  (rev scale exp(-s) from H)
+#   mul_add   y = a*m + y5            (fwd y2 = x2*exp(s) + G(y1))
+#   sub_mul   y = (a - y5)*m          (rev y2 = (x2 - G(x1))*exp(-s))
+EP_AUX = {"none": 0, "sig_exp": 0, "sig_exp_neg": 0, "add": 1,
+          "sub_from": 1, "mul_add": 2, "sub_mul": 2}
+
+
+def ep_apply(y, mode, clamp, a=None, m=None):
+    if mode == "none":
+        return y
+    if mode == "add":
+        return a + y
+    if mode == "sub_from":
+        return a - y
+    if mode == "sig_exp":
+        return jnp.exp(clamp * (2.0 * jax.nn.sigmoid(y) - 1.0))
+    if mode == "sig_exp_neg":
+        return jnp.exp(-clamp * (2.0 * jax.nn.sigmoid(y) - 1.0))
+    if mode == "mul_add":
+        return a * m + y
+    if mode == "sub_mul":
+        return (a - y) * m
+    raise ValueError(mode)
+
+
+def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, *rest,
+                     TH, W, X, H, T, slope, ep="none", clamp=1.0):
+    n_aux = EP_AUX[ep]
+    aux = rest[:n_aux]
+    o_ref, work, slots = rest[n_aux], rest[n_aux + 1], rest[n_aux + 2]
+    _chain_kernel_v2_body(
+        x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux, o_ref,
+        work, slots, TH=TH, W=W, X=X, H=H, T=T, slope=slope, ep=ep,
+        clamp=clamp,
+    )
+
+
+def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
+                          o_ref, work, slots, *, TH, W, X, H, T, slope, ep,
+                          clamp):
     # Column handling: the work buffer is exactly W wide (W % 16 == 0 by
     # the shape gate) — the dx taps at the image edges are resolved by
     # CLIPPED adds in the assembly below instead of zero-padded columns.
@@ -391,14 +435,18 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
         preferred_element_type=f32,
     ).reshape(TH, W, -1)
     y5 = y5 + b5_ref[0].astype(f32)
+    if ep != "none":
+        aa = aux[0][0, 0].astype(f32) if len(aux) >= 1 else None
+        mm = aux[1][0, 0].astype(f32) if len(aux) >= 2 else None
+        y5 = ep_apply(y5, ep, clamp, aa, mm)
     # at t==0 (warm-up step) this writes a partial out(0); t==1 overwrites
     # the same block with the complete value before it flushes.
     o_ref[0, 0] = y5.astype(o_ref.dtype)
 
 
-def _pallas_impl_v2(x, ws, bs, w5, b5):
+def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
     """x: (B,T,H,W,C); ws: 4 conv weights; w5: (3, C+4*GC, Cout).
-    Returns conv5(concat(x, x1..x4)): (B,T,H,W,Cout)."""
+    Returns ep_apply(conv5(concat(x, x1..x4)), a, m): (B,T,H,W,Cout)."""
     B, T, H, W, C = x.shape
     X = _round_up(C, GC)
     c_out = w5.shape[-1]
@@ -411,8 +459,17 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
     b5p = b5.astype(jnp.float32).reshape(1, -1)
 
     kernel = partial(
-        _chain_kernel_v2, TH=TH, W=W, X=X, H=H, T=T, slope=0.2
+        _chain_kernel_v2, TH=TH, W=W, X=X, H=H, T=T, slope=0.2,
+        ep=ep, clamp=clamp,
     )
+    aux_arrays = [v for v in (a, m)[:EP_AUX[ep]]]
+    aux_specs = [
+        pl.BlockSpec(
+            (1, 1, TH, W, c_out),
+            lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+        )
+        for _ in aux_arrays
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(B, H // TH, T + 1),
@@ -432,6 +489,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
             pl.BlockSpec((3, 3 * (X + 4 * GC), c_out),
                          lambda b, i, t: (0, 0, 0)),
             pl.BlockSpec((1, c_out), lambda b, i, t: (0, 0)),
+            *aux_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, 1, TH, W, c_out),
@@ -445,7 +503,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5):
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(xp, *wps, bss, w5p, b5p)
+    )(xp, *wps, bss, w5p, b5p, *[v.astype(x.dtype) for v in aux_arrays])
     return out
 
 
@@ -739,3 +797,56 @@ def _fdc_bwd(res, g):
 
 
 fused_dense_chain_t.defvjp(_fdc_fwd, _fdc_bwd)
+
+
+# --- epilogue-fused entry points -------------------------------------------
+
+
+def _xla_impl_v2_ep(ep, clamp, x, ws, bs, w5, b5, *aux):
+    y = _xla_impl_v2(x, ws, bs, w5, b5)
+    a = aux[0] if len(aux) >= 1 else None
+    m = aux[1] if len(aux) >= 2 else None
+    return ep_apply(y, ep, clamp, a, m)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
+    """custom-VJP'd whole-chain call with a fused coupling epilogue.
+    Keyed by the static (ep, clamp) pair; backward re-derives through the
+    XLA formulation (rematerialization, as the base kernel does)."""
+
+    def prim(x, ws, bs, w5, b5, *aux):
+        return _pallas_impl_v2(
+            x, ws, bs, w5, b5, ep=ep, clamp=clamp,
+            a=aux[0] if n_aux >= 1 else None,
+            m=aux[1] if n_aux >= 2 else None,
+        )
+
+    def fwd(x, ws, bs, w5, b5, *aux):
+        return prim(x, ws, bs, w5, b5, *aux), (x, ws, bs, w5, b5, aux)
+
+    def bwd(res, g):
+        x, ws, bs, w5, b5, aux = res
+        _, vjp = jax.vjp(
+            lambda x, ws, bs, w5, b5, *aux: _xla_impl_v2_ep(
+                ep, clamp, x, ws, bs, w5, b5, *aux
+            ),
+            x, ws, bs, w5, b5, *aux,
+        )
+        return vjp(g)
+
+    f = jax.custom_vjp(prim)
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
+    """fused_dense_chain_t with the coupling epilogue applied in-kernel."""
+    n_aux = EP_AUX[ep_mode]
+    aux = tuple(v for v in (a, m)[:n_aux])
+    return _fused_chain_ep(ep_mode, float(clamp), n_aux)(
+        x, ws, bs, w5, b5, *aux
+    )

@@ -196,3 +196,87 @@ def test_v3_kernel_matches_xla(shape, c_out):
 def test_v3_shape_gate():
     assert chain_v3_shapes_ok(7, 144, 176, 51, 48)
     assert not chain_v3_shapes_ok(7, 145, 176, 51, 48)
+
+
+# --------------------------------------------------------------------------
+# fused coupling epilogues
+# --------------------------------------------------------------------------
+
+from selfc_tpu.ops.pallas_chain import (  # noqa: E402
+    EP_AUX,
+    ep_apply,
+    fused_dense_chain_t_ep,
+)
+
+
+@pytest.mark.parametrize(
+    "mode", ["add", "sub_from", "sig_exp", "sig_exp_neg", "mul_add", "sub_mul"]
+)
+def test_ep_kernel_matches_oracle(mode):
+    rng = np.random.default_rng(3)
+    shape, c_out = (1, 3, 24, 32, 3), 48
+    ws, bs, w5, b5 = _mk_chain_v2(rng, shape[-1], c_out)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    out_shape = shape[:-1] + (c_out,)
+    a = jnp.asarray(rng.normal(0, 1, out_shape), jnp.float32)
+    m = jnp.asarray(rng.normal(0, 1, out_shape), jnp.float32)
+    n_aux = EP_AUX[mode]
+    aa = a if n_aux >= 1 else None
+    mm = m if n_aux >= 2 else None
+    want = ep_apply(_xla_impl_v2(x, ws, bs, w5, b5), mode, 1.0, aa, mm)
+    got = fused_dense_chain_t_ep(x, ws, bs, w5, b5, mode, 1.0, aa, mm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ep_grads_match_oracle():
+    rng = np.random.default_rng(4)
+    ws, bs, w5, b5 = _mk_chain_v2(rng, 3, 48)
+    x = jnp.asarray(rng.normal(0, 1, (1, 3, 12, 16, 3)), jnp.float32)
+    a = jnp.asarray(rng.normal(0, 1, (1, 3, 12, 16, 48)), jnp.float32)
+    m = jnp.asarray(rng.normal(0, 1, (1, 3, 12, 16, 48)), jnp.float32)
+
+    def loss_f(x, ws, bs, w5, b5, a, m):
+        return jnp.sum(
+            fused_dense_chain_t_ep(x, ws, bs, w5, b5, "mul_add", 1.0, a, m)
+            ** 2
+        )
+
+    def loss_r(x, ws, bs, w5, b5, a, m):
+        return jnp.sum(
+            ep_apply(_xla_impl_v2(x, ws, bs, w5, b5), "mul_add", 1.0, a, m)
+            ** 2
+        )
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        x, ws, bs, w5, b5, a, m
+    )
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        x, ws, bs, w5, b5, a, m
+    )
+    for u, v in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-3)
+
+
+def test_coupling_fused_matches_plain():
+    """InvBlockExp with the fused epilogue path (kernel, forced interpret)
+    vs SELFC_TPU_PALLAS=0 (pure XLA): forward, reverse, invertibility."""
+    from selfc_tpu.models.blocks import subnet
+    from selfc_tpu.models.coupling import InvBlockExp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 3, 24, 32, 51)), jnp.float32)
+    blk = InvBlockExp(51, 3, subnet("D2DTNet", "xavier"))
+    v = blk.init(jax.random.PRNGKey(0), x)
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["SELFC_TPU_PALLAS"] = flag
+        y, jac = blk.apply(v, x, False)
+        xr, jac_r = blk.apply(v, y, True)
+        outs[flag] = (np.asarray(y), float(jac), np.asarray(xr), float(jac_r))
+    os.environ["SELFC_TPU_PALLAS"] = "1"
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0], atol=3e-5)
+    np.testing.assert_allclose(outs["1"][2], outs["0"][2], atol=3e-5)
+    assert abs(outs["1"][1] - outs["0"][1]) < 1e-2 * max(1, abs(outs["0"][1]))
+    # exact invertibility through the fused path
+    np.testing.assert_allclose(outs["1"][2], np.asarray(x), atol=1e-4)
