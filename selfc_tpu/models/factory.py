@@ -62,6 +62,7 @@ def define_G(opt):
             gmm_k=net["gmm_k"] or 5,
             global_module=net["global_module"] or "nonlocal",
             nll_enabled=nll_enabled,
+            remat=bool(net["remat"]),
             scan_blocks=bool(net["scan_blocks"]),
         )
     if model_type == "SelfC_GMM_Codec":

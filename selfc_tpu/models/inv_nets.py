@@ -52,6 +52,12 @@ class SelfCNetGMM(nn.Module):
     # the snapshot disables the forward conditional NLL (reference :466-468);
     # set True to restore the paper's loss_c term.
     nll_enabled: bool = False
+    # rematerialize each coupling block in the backward pass. Cuts the
+    # training-step activation footprint ~16x (the un-rematerialized fp32
+    # backward at batch 8 / GT 144 wants ~47G HBM vs the chip's 16G).
+    # NB round-1's "85x slower" verdict on this flag was an artifact of the
+    # broken axon sync: the honest cost is measured in tools/bench_train.py.
+    remat: bool = False
     # compile the coupling chain as one lax.scan over stacked block params
     # (big compile-time cut; param layout changes to blocks/... stacked —
     # convert existing trees with utils.torch_import.stack_block_params)
@@ -73,8 +79,12 @@ class SelfCNetGMM(nn.Module):
             )
             self.inv_blocks = []
         else:
+            blk_cls = (
+                nn.remat(InvBlockExp, static_argnums=(2,)) if self.remat
+                else InvBlockExp
+            )
             self.inv_blocks = [
-                InvBlockExp(self.latent_channels, 3, ctor)
+                blk_cls(self.latent_channels, 3, ctor)
                 for _ in range(sum(self.block_num))
             ]
         self.stp_net = STPNet(

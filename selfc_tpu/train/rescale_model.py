@@ -58,11 +58,6 @@ class RescaleModel:
         self.mesh = mesh if mesh is not None else make_mesh(sp=opt["mesh_sp"] or 1)
         self._spatial_axis = 3 if self.mesh.shape["sp"] > 1 else None
         self.degrade = make_degrade(opt["distortion"] or "sr_bd", self.scale)
-        # network_G.remat: rematerialize the whole roundtrip in the backward
-        # pass (one extra forward, ~boundary-only activation memory). The
-        # round-1 per-coupling-block nn.remat was pathological (~85x) in the
-        # fwd+rev grad graph and was removed in its favor.
-        self._remat = bool(opt["network_G"] and opt["network_G"]["remat"])
         self._arch = {
             "SelfC_GMM": "gmm",
             "SelfC_GMM_Codec": "codec",
@@ -152,16 +147,10 @@ class RescaleModel:
     # ------------------------------------------------------------------
     def _loss(self, params, hr, ref_l, rng):
         to = self.train_opt
-
-        def run(p, x, k):
-            return self.net.apply(
-                {"params": p}, x, method=self.net.roundtrip,
-                rngs={"sample": k},
-            )
-
-        if self._remat:
-            run = jax.checkpoint(run)
-        out = run(params, hr, rng)
+        out = self.net.apply(
+            {"params": params}, hr, method=self.net.roundtrip,
+            rngs={"sample": rng},
+        )
         l_forw_fit = (to["lambda_fit_forw"] or 1.0) * reconstruction_loss(
             out["lr_pre_quant"], ref_l, to["pixel_criterion_forw"] or "l2"
         )

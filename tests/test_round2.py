@@ -480,10 +480,10 @@ class TestTorchExport:
 
 class TestRematRoundtrip:
     def test_remat_step_matches_plain(self):
-        """network_G.remat now wraps the WHOLE roundtrip in jax.checkpoint
-        at the train-step level (the round-1 per-block nn.remat was ~85x
-        pathological); gradients and the resulting step must be identical
-        to the non-remat step."""
+        """network_G.remat (per-coupling-block rematerialization -- needed
+        to fit the fp32 training backward in 16G HBM at the reference
+        config) must leave gradients and the resulting step identical to
+        the non-remat step."""
         from selfc_tpu.train.rescale_model import RescaleModel
 
         hr = jnp.asarray(
