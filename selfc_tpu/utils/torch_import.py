@@ -233,3 +233,33 @@ def load_pth(path: str, arch: str, block_num=(4, 4)) -> dict:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return import_state_dict(sd, arch, block_num)
+
+
+# ---------------------------------------------------------------------------
+# VGG-19 feature-extractor import (reference VGGFeatureExtractor loads
+# torchvision.models.vgg19(pretrained=True).features[:35],
+# discriminator_vgg_arch.py:60-88). torchvision isn't present in this
+# environment, so the perceptual path takes a torchvision-format
+# state_dict file instead: keys ``features.N.weight/bias`` with convs at
+# the standard vgg19 indices.
+# ---------------------------------------------------------------------------
+
+_VGG19_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+
+
+def import_vgg19_features(state_dict) -> dict:
+    """torchvision vgg19 ``features.*`` state_dict -> VGGFeatureExtractor
+    params ({'conv_i': {'kernel', 'bias'}}, OIHW -> HWIO)."""
+    out = {}
+    for i, idx in enumerate(_VGG19_CONV_IDX):
+        wk, bk = f"features.{idx}.weight", f"features.{idx}.bias"
+        if wk not in state_dict:
+            break
+        w = np.asarray(state_dict[wk], np.float32)
+        out[f"conv_{i}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": np.asarray(state_dict[bk], np.float32),
+        }
+    if not out:
+        raise KeyError("no vgg19 'features.N.weight' keys found")
+    return out

@@ -506,3 +506,56 @@ class TestRematRoundtrip:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
+
+
+class TestVGG19Import:
+    def test_feature_extractor_matches_torch_replica(self):
+        """import_vgg19_features: a torchvision-layout vgg19 state_dict
+        (replicated in plain torch, random weights) drives our
+        VGGFeatureExtractor to the same layer-34 features the reference's
+        torchvision-based extractor would produce
+        (discriminator_vgg_arch.py:60-88)."""
+        import pytest
+
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        from selfc_tpu.models.discriminator import VGGFeatureExtractor
+        from selfc_tpu.utils.torch_import import import_vgg19_features
+
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+        layers, c = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers.append(tnn.Conv2d(c, v, 3, padding=1))
+                layers.append(tnn.ReLU(inplace=False))
+                c = v
+        torch.manual_seed(5)
+        features = tnn.Sequential(*layers).eval()
+        sd = {f"features.{i}.{k}": p.detach().numpy()
+              for i, m in enumerate(features)
+              if isinstance(m, tnn.Conv2d)
+              for k, p in (("weight", m.weight), ("bias", m.bias))}
+
+        params = import_vgg19_features(sd)
+        assert len(params) == 16  # all conv5_4-and-earlier convs mapped
+
+        rng = np.random.default_rng(0)
+        x = rng.random((1, 32, 32, 3), np.float32)
+        mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+        std = np.asarray([0.229, 0.224, 0.225], np.float32)
+        xt = torch.from_numpy(
+            ((x - mean) / std).transpose(0, 3, 1, 2)
+        ).float()
+        with torch.no_grad():
+            # reference: features.children()[:35] -> output of the
+            # layer-34 conv (conv5_4, pre-ReLU)
+            want = tnn.Sequential(*layers[:35])(xt).numpy()
+
+        net = VGGFeatureExtractor()
+        out = net.apply({"params": params}, jnp.asarray(x))
+        got = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=2e-4)
