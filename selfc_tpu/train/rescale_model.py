@@ -147,17 +147,27 @@ class RescaleModel:
     # ------------------------------------------------------------------
     def _loss(self, params, hr, ref_l, rng):
         to = self.train_opt
+        # train.mixed_precision: bf16 activations / fp32 master params.
+        # Parameters stay fp32 (Adam runs on fp32 grads); each conv casts
+        # its weights down to the activation dtype, so feeding a bf16
+        # batch makes every MXU op bf16. Losses accumulate in fp32; the
+        # 255-level STE quantization always rounds in fp32 (ops/quantize).
+        x_in = hr.astype(jnp.bfloat16) if to["mixed_precision"] else hr
         out = self.net.apply(
-            {"params": params}, hr, method=self.net.roundtrip,
+            {"params": params}, x_in, method=self.net.roundtrip,
             rngs={"sample": rng},
         )
         l_forw_fit = (to["lambda_fit_forw"] or 1.0) * reconstruction_loss(
-            out["lr_pre_quant"], ref_l, to["pixel_criterion_forw"] or "l2"
+            out["lr_pre_quant"].astype(jnp.float32), ref_l,
+            to["pixel_criterion_forw"] or "l2"
         )
         l_back_rec = (to["lambda_rec_back"] or 1.0) * reconstruction_loss(
-            out["hr"], hr, to["pixel_criterion_back"] or "l1"
+            out["hr"].astype(jnp.float32), hr,
+            to["pixel_criterion_back"] or "l1"
         )
-        loss_c = (to["lambda_cond_prob"] or 0.0) * out["loss_c"]
+        loss_c = (to["lambda_cond_prob"] or 0.0) * out["loss_c"].astype(
+            jnp.float32
+        )
         # reference scales the total by 144*144*3 (SelfC_model.py:169)
         loss = (l_forw_fit + l_back_rec + loss_c) * 144 * 144 * 3
         logs = {

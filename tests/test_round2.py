@@ -559,3 +559,33 @@ class TestVGG19Import:
         out = net.apply({"params": params}, jnp.asarray(x))
         got = np.asarray(out).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestMixedPrecisionTrain:
+    def test_bf16_step_trains_and_tracks_fp32(self):
+        """train.mixed_precision: bf16 activations / fp32 master params.
+        The step must run finite, update fp32 params, and land near the
+        fp32 step's loss."""
+        from selfc_tpu.train.rescale_model import RescaleModel
+
+        hr = jnp.asarray(
+            np.random.default_rng(0).random((1, 3, 32, 32, 3)), jnp.float32
+        )
+        losses = {}
+        for mp in (False, True):
+            opt = _gmm_opt(train_extra={"mixed_precision": mp})
+            m = RescaleModel(opt)
+            p0 = jax.device_get(m.params)
+            p, s, logs = m._train_step(
+                m.params, m.opt_state, hr, jnp.float32(1e-4), jnp.int32(0)
+            )
+            assert jax.tree.leaves(p)[0].dtype == jnp.float32
+            assert float(logs["skipped_nonfinite"]) == 0.0
+            moved = max(
+                float(np.max(np.abs(np.asarray(a) - b)))
+                for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p0))
+            )
+            assert moved > 0.0
+            losses[mp] = float(logs["loss"])
+        assert np.isfinite(losses[True])
+        assert abs(losses[True] - losses[False]) < 0.1 * abs(losses[False])
