@@ -767,6 +767,8 @@ def _impl_best(x, ws, bs, w5, b5):
     B, T, H, W, C = x.shape
     if chain_v3_enabled() and chain_v3_shapes_ok(T, H, W, C, w5.shape[-1]):
         return _pallas_impl_v3(x, ws, bs, w5, b5)
+    if ride_ok(w5.shape[-1]):
+        return _pallas_impl_v2r(x, ws, bs, w5, b5)
     return _pallas_impl_v2(x, ws, bs, w5, b5)
 
 
@@ -799,6 +801,222 @@ def _fdc_bwd(res, g):
 fused_dense_chain_t.defvjp(_fdc_fwd, _fdc_bwd)
 
 
+# ===========================================================================
+# "ride" variant: conv5 rides the spatial dots' spare N lanes (c_out <= 10)
+# ===========================================================================
+#
+# The F chain's conv5 projects 176 channels down to THREE (N = 3 of 128
+# MXU lanes, ~2% occupancy, yet ceil(576/128)=5 passes). When
+# 96 + 3*c_out <= 128, each spatial conv dot gets 3*c_out extra output
+# columns (zero except on the dy=1 dot) holding that feature's three
+# temporal-tap contributions; a rotating 3-phase fp32 accumulator of
+# (TH, W, 3*c_out) collects them and out(t-1) emits once frame t's
+# contributions land. The conv5 dot, the slot buffer, and its per-cell
+# deposit copy all disappear. x4 (not an input to any later conv) gets
+# one tiny dedicated dot (K=32, N=3*c_out).
+
+
+def ride_ok(c_out: int) -> bool:
+    flag = os.environ.get("SELFC_TPU_PALLAS_RIDE", "")
+    if flag == "0":
+        return False
+    return 96 + 3 * c_out <= 128
+
+
+def _prep_weight_ride(w, w5, C: int, X: int, feat: int):
+    """Extend a conv's (3, K, 96) packed weight with the conv5 taps of the
+    feature occupying the LAST GC lanes of its input (feat = 0 -> the x
+    segment rides conv1). ext column block k (k = 0,1,2) holds w5[k]:
+    frame t' contributes to out(t' + 1 - k). Non-center dy rows are zero
+    (the temporal conv has no spatial taps)."""
+    wt = _prep_weight(w, C, X)  # (3, K, 96)
+    K = wt.shape[1]
+    c_out = w5.shape[-1]
+    ext = jnp.zeros((3, K, 3 * c_out), w.dtype)
+    if feat == 0:
+        rows = slice(0, C)          # x lanes (real channels only)
+        w5rows = w5[:, :C]          # (3, C, c_out)
+    else:
+        rows = slice(K - GC, K)     # x_{feat} lanes
+        base = w5.shape[1] - 4 * GC
+        w5rows = w5[:, base + GC * (feat - 1):base + GC * feat]
+    taps = jnp.concatenate([w5rows[k] for k in range(3)], axis=-1)
+    ext = ext.at[1, rows].set(taps.astype(w.dtype))
+    return jnp.concatenate([wt, ext], axis=-1)  # (3, K, 96 + 3*c_out)
+
+
+def _prep_w5_x4(w5, c_out: int):
+    """x4's conv5 taps as a dedicated (GC, 3*c_out) weight."""
+    x4rows = w5[:, w5.shape[1] - GC:]  # (3, GC, c_out)
+    return jnp.concatenate([x4rows[k] for k in range(3)], axis=-1)
+
+
+def _chain_kernel_v2r(x_ref, w1, w2, w3, w4, b_ref, wx4_ref, b5_ref, *rest,
+                      TH, W, X, H, T, slope, c_out, ep="none", clamp=1.0):
+    n_aux = EP_AUX[ep]
+    aux = rest[:n_aux]
+    o_ref, work, acc5 = rest[n_aux], rest[n_aux + 1], rest[n_aux + 2]
+    i_tile = pl.program_id(1)
+    t = pl.program_id(2)
+    f32 = jnp.float32
+    w_refs = (w1, w2, w3, w4)
+    NC = 3 * c_out
+
+    @pl.when(t == 0)
+    def _zero_acc():
+        acc5[...] = jnp.zeros_like(acc5)
+
+    @pl.when(t < T)
+    def _compute():
+        work[:, :, :X] = x_ref[0, 0, 1:TH + 9]
+        for i in range(1, 5):
+            kin = X + GC * (i - 1)
+            ri0 = i - 1
+            ro0, ro1 = i, TH + 8 - i
+            r_out = ro1 - ro0
+            w = w_refs[i - 1]
+            part = None
+            for dy in range(3):
+                inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                    r_out * W, kin
+                )
+                d = jax.lax.dot_general(
+                    inp, w[dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                part = d if part is None else part + d
+            part = part.reshape(r_out, W, 3 * GC + NC)
+            # conv5 rider: part row j holds feature[i + j] (the dy=1 input
+            # row); slice the output window rows [4, TH+4)
+            j0 = 4 - i
+            for k in range(3):
+                # frame t contributes to out(t + 1 - k): phase (t+1-k)%3;
+                # guard tau >= 0 (else frame 0's k=2 tap would pollute the
+                # phase that later hosts out(2))
+                seg = part[j0:j0 + TH, :, 3 * GC + k * c_out:
+                           3 * GC + (k + 1) * c_out]
+                for p in range(3):
+                    @pl.when(((t + 1 - k) % 3 == p) & (t + 1 >= k))
+                    def _acc(p=p, seg=seg):
+                        acc5[:, :, p * c_out:(p + 1) * c_out] += seg
+            ww = jax.lax.broadcasted_iota(jnp.int32, (r_out, W, 1), 1)
+            a0 = pltpu.roll(part[:, :, 0:GC], 1, 1)
+            a0 = jnp.where(ww >= 1, a0, 0.0)
+            a2 = pltpu.roll(part[:, :, 2 * GC:3 * GC], W - 1, 1)
+            a2 = jnp.where(ww <= W - 2, a2, 0.0)
+            acc = a0 + part[:, :, GC:2 * GC] + a2
+            acc = acc + b_ref[i - 1].astype(f32)
+            acc = jnp.where(acc >= 0, acc, slope * acc)
+            h0 = i_tile * TH + i - 4
+            rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
+            acc = jnp.where((rr >= 0) & (rr < H), acc, 0.0)
+            work[ro0:ro1, :, X + GC * (i - 1):X + GC * i] = (
+                acc.astype(work.dtype)
+            )
+        # x4's rider: one small dedicated dot over the output window
+        inp4 = work[4:TH + 4, :, X + 3 * GC:X + 4 * GC].reshape(TH * W, GC)
+        d4 = jax.lax.dot_general(
+            inp4, wx4_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(TH, W, NC)
+        for k in range(3):
+            for p in range(3):
+                @pl.when(((t + 1 - k) % 3 == p) & (t + 1 >= k))
+                def _acc4(p=p, k=k):
+                    acc5[:, :, p * c_out:(p + 1) * c_out] += (
+                        d4[:, :, k * c_out:(k + 1) * c_out]
+                    )
+
+    # emit out(t-1) from its phase segment, then recycle the segment
+    for p in range(3):
+        @pl.when(jnp.maximum(t - 1, 0) % 3 == p)
+        def _emit(p=p):
+            y5 = acc5[:, :, p * c_out:(p + 1) * c_out] + b5_ref[0].astype(
+                jnp.float32
+            )
+            if ep != "none":
+                aa = aux[0][0, 0].astype(jnp.float32) if n_aux >= 1 else None
+                mm = aux[1][0, 0].astype(jnp.float32) if n_aux >= 2 else None
+                y5 = ep_apply(y5, ep, clamp, aa, mm)
+            o_ref[0, 0] = y5.astype(o_ref.dtype)
+
+    @pl.when((t >= 1) & (t < T))
+    def _recycle():
+        for p in range(3):
+            @pl.when((t - 1) % 3 == p)
+            def _z(p=p):
+                acc5[:, :, p * c_out:(p + 1) * c_out] = jnp.zeros(
+                    (TH, W, c_out), jnp.float32
+                )
+
+
+def _pallas_impl_v2r(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None,
+                     m=None):
+    """Ride-mode whole-chain call; same semantics as _pallas_impl_v2."""
+    B, T, H, W, C = x.shape
+    X = _round_up(C, GC)
+    c_out = w5.shape[-1]
+    TH = _pick_tile_h_v2(H, X + 4 * GC, c_out)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (5, 5), (0, 0), (0, X - C)))
+    wps = [
+        _prep_weight_ride(w.astype(x.dtype), w5.astype(x.dtype), C, X, i)
+        for i, w in enumerate(ws)
+    ]
+    bss = jnp.stack([b.astype(jnp.float32) for b in bs])
+    wx4 = _prep_w5_x4(w5.astype(x.dtype), c_out)
+    b5p = b5.astype(jnp.float32).reshape(1, -1)
+
+    kernel = partial(
+        _chain_kernel_v2r, TH=TH, W=W, X=X, H=H, T=T, slope=0.2,
+        c_out=c_out, ep=ep, clamp=clamp,
+    )
+    aux_arrays = [v for v in (a, m)[:EP_AUX[ep]]]
+    aux_specs = [
+        pl.BlockSpec(
+            (1, 1, TH, W, c_out),
+            lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+        )
+        for _ in aux_arrays
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // TH, T + 1),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(1), pl.Element(TH + 10),
+                 pl.Element(W), pl.Element(X)),
+                lambda b, i, t: (b, jnp.minimum(t, T - 1), i * TH, 0, 0),
+            ),
+            *[
+                pl.BlockSpec((3, X + GC * k, 3 * GC + 3 * c_out),
+                             lambda b, i, t: (0, 0, 0))
+                for k in range(4)
+            ],
+            pl.BlockSpec((4, GC), lambda b, i, t: (0, 0)),
+            pl.BlockSpec((GC, 3 * c_out), lambda b, i, t: (0, 0)),
+            pl.BlockSpec((1, c_out), lambda b, i, t: (0, 0)),
+            *aux_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TH, W, c_out),
+            lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, W, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH, W, 3 * c_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *wps, bss, wx4, b5p, *[v.astype(x.dtype) for v in aux_arrays])
+    return out
+
+
 # --- epilogue-fused entry points -------------------------------------------
 
 
@@ -819,7 +1037,8 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
     XLA formulation (rematerialization, as the base kernel does)."""
 
     def prim(x, ws, bs, w5, b5, *aux):
-        return _pallas_impl_v2(
+        impl = _pallas_impl_v2r if ride_ok(w5.shape[-1]) else _pallas_impl_v2
+        return impl(
             x, ws, bs, w5, b5, ep=ep, clamp=clamp,
             a=aux[0] if n_aux >= 1 else None,
             m=aux[1] if n_aux >= 2 else None,

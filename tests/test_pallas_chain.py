@@ -199,6 +199,50 @@ def test_v3_shape_gate():
 
 
 # --------------------------------------------------------------------------
+# ride variant: conv5 on the spatial dots' spare N lanes (c_out <= 10)
+# --------------------------------------------------------------------------
+
+from selfc_tpu.ops.pallas_chain import _pallas_impl_v2r, ride_ok  # noqa: E402
+
+
+def test_ride_gate():
+    assert ride_ok(3) and ride_ok(10)
+    assert not ride_ok(12)
+
+
+@pytest.mark.parametrize(
+    "shape,c_out",
+    [
+        ((1, 7, 24, 32, 48), 3),   # the F chain shape family
+        ((2, 3, 24, 32, 3), 6),
+        ((1, 1, 12, 16, 64), 10),  # T=1 edge
+        ((1, 2, 48, 32, 51), 3),   # multi-tile H, unaligned C
+    ],
+)
+def test_ride_kernel_matches_xla(shape, c_out):
+    rng = np.random.default_rng(7)
+    C = shape[-1]
+    ws, bs, w5, b5 = _mk_chain_v2(rng, C, c_out)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    want = _xla_impl_v2(x, ws, bs, w5, b5)
+    got = _pallas_impl_v2r(x, ws, bs, w5, b5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ride_with_epilogue_matches_oracle():
+    from selfc_tpu.ops.pallas_chain import ep_apply as _ep
+
+    rng = np.random.default_rng(8)
+    shape, c_out = (1, 4, 24, 32, 48), 3
+    ws, bs, w5, b5 = _mk_chain_v2(rng, shape[-1], c_out)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    a = jnp.asarray(rng.normal(0, 1, shape[:-1] + (c_out,)), jnp.float32)
+    want = _ep(_xla_impl_v2(x, ws, bs, w5, b5), "add", 1.0, a)
+    got = _pallas_impl_v2r(x, ws, bs, w5, b5, ep="add", a=a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+# --------------------------------------------------------------------------
 # fused coupling epilogues
 # --------------------------------------------------------------------------
 
