@@ -32,7 +32,7 @@ from selfc_tpu.train.rescale_model import RescaleModel
 SHAPE = (8, 7, 144, 144, 3)
 
 
-def build_model(remat: bool):
+def build_model(remat: bool, mixed_precision: bool = False):
     opt = dict_to_nonedict({
         "is_train": True, "model": "SelfC_GMM", "distortion": "sr_bd",
         "scale": 4,
@@ -45,6 +45,7 @@ def build_model(remat: bool):
         },
         "path": {},
         "train": {
+            "mixed_precision": mixed_precision,
             "lr_G": 2e-4, "beta1": 0.9, "beta2": 0.999,
             "lr_scheme": "MultiStepLR", "lr_steps": [], "lr_gamma": 0.5,
             "pixel_criterion_forw": "l2", "pixel_criterion_back": "l1",
@@ -96,6 +97,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--remat-only", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--mp", action="store_true",
+                    help="also measure train.mixed_precision (bf16)")
     args = ap.parse_args()
     modes = [False, True]
     if args.remat_only:
@@ -103,14 +106,21 @@ def main():
     if args.no_remat:
         modes = [False]
     frames = SHAPE[0] * SHAPE[1]
+    precisions = [False, True] if args.mp else [False]
     for remat in modes:
-        model = build_model(remat)
-        dt, compile_s = time_steps(model)
-        print(
-            f"remat={remat!s:5}  {dt * 1e3:8.2f} ms/step  "
-            f"({1 / dt:6.2f} steps/s, {frames / dt:7.1f} frames/s)  "
-            f"[first-call {compile_s:.0f}s]"
-        )
+        for mp in precisions:
+            try:
+                model = build_model(remat, mp)
+                dt, compile_s = time_steps(model)
+            except Exception as e:  # noqa: BLE001 - OOM configs get a line
+                print(f"remat={remat!s:5} bf16={mp!s:5}  "
+                      f"FAILED ({type(e).__name__}: {str(e)[:80]})")
+                continue
+            print(
+                f"remat={remat!s:5} bf16={mp!s:5}  {dt * 1e3:8.2f} ms/step  "
+                f"({1 / dt:6.2f} steps/s, {frames / dt:7.1f} frames/s)  "
+                f"[first-call {compile_s:.0f}s]"
+            )
 
 
 if __name__ == "__main__":
