@@ -814,11 +814,16 @@ fused_dense_chain_t.defvjp(_fdc_fwd, _fdc_bwd)
 # contributions land. The conv5 dot, the slot buffer, and its per-cell
 # deposit copy all disappear. x4 (not an input to any later conv) gets
 # one tiny dedicated dot (K=32, N=3*c_out).
+#
+# NEGATIVE RESULT (measured on the v5e chip, flagship roundtrip bench):
+# ride mode 83.6 fps vs 121.4 fps without — the widened (128-lane) dots
+# on EVERY spatial conv plus the 3-phase accumulator roll/mask epilogue
+# cost far more than the one eliminated narrow conv5 dot. Kept as an
+# opt-in experiment (SELFC_TPU_PALLAS_RIDE=1), default OFF.
 
 
 def ride_ok(c_out: int) -> bool:
-    flag = os.environ.get("SELFC_TPU_PALLAS_RIDE", "")
-    if flag == "0":
+    if os.environ.get("SELFC_TPU_PALLAS_RIDE", "") != "1":
         return False
     return 96 + 3 * c_out <= 128
 

@@ -205,9 +205,12 @@ def test_v3_shape_gate():
 from selfc_tpu.ops.pallas_chain import _pallas_impl_v2r, ride_ok  # noqa: E402
 
 
-def test_ride_gate():
+def test_ride_gate(monkeypatch):
+    # default OFF (negative perf result on-chip); opt-in via env flag
+    assert not ride_ok(3)
+    monkeypatch.setenv("SELFC_TPU_PALLAS_RIDE", "1")
     assert ride_ok(3) and ride_ok(10)
-    assert not ride_ok(12)
+    assert not ride_ok(12)  # 96 + 3*12 > 128 lanes
 
 
 @pytest.mark.parametrize(
