@@ -73,7 +73,15 @@ class InvBlockExp(nn.Module):
         G = self.subnet_ctor(s1, s2, name="G")
         H = self.subnet_ctor(s1, s2, name="H")
 
-        x1, x2 = x[..., :s1], x[..., s1:]
+        # Pair-carry fast path: callers may pass (x1, x2) already split —
+        # the chain then never materializes the concatenated 51/131-channel
+        # tensor between blocks (one concat at chain end instead of per
+        # block). Numerically identical to the array path.
+        as_pair = isinstance(x, tuple)
+        if as_pair:
+            x1, x2 = x
+        else:
+            x1, x2 = x[..., :s1], x[..., s1:]
         # When the subnets are D2DT dense chains, the coupling arithmetic
         # rides the chain kernels as fused epilogues: s never materializes
         # (H emits exp(+-s) directly) and the y1/y2 combines happen on the
@@ -84,10 +92,10 @@ class InvBlockExp(nn.Module):
 
         use_ep = (
             getattr(type(F), "SUPPORTS_EP", False)
-            and x.ndim == 5
+            and x1.ndim == 5
             and chain_v2_enabled()
-            and chain_v2_shapes_ok(x.shape[1], x.shape[2], x.shape[3], s1, s2)
-            and chain_v2_shapes_ok(x.shape[1], x.shape[2], x.shape[3], s2, s1)
+            and chain_v2_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s1, s2)
+            and chain_v2_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s2, s1)
         )
         if use_ep and not rev:
             y1 = F(x2, ep=("add", 1.0, x1, None))
@@ -110,5 +118,10 @@ class InvBlockExp(nn.Module):
             y1 = x1 - F(y2)
             jac = -jnp.sum(s)
         # reference divides by the flattened frame-batch B*T
-        jac = jac / (x.shape[0] * x.shape[1]) if x.ndim == 5 else jac / x.shape[0]
+        jac = (
+            jac / (x1.shape[0] * x1.shape[1]) if x1.ndim == 5
+            else jac / x1.shape[0]
+        )
+        if as_pair:
+            return (y1, y2), jac
         return jnp.concatenate([y1, y2], axis=-1), jac

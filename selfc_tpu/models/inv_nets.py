@@ -100,11 +100,14 @@ class SelfCNetGMM(nn.Module):
         y = freq_forward(x, self.scale)
         if self.scan_blocks:
             return self.scan_chain(y, False)
+        # carry the (LR, HF) pair through the chain: the concatenated
+        # 51-channel tensor materializes once at the end, not per block
+        pair = (y[..., :3], y[..., 3:])
         jac = 0.0
         for blk in self.inv_blocks:
-            y, j = blk(y, False)
+            pair, j = blk(pair, False)
             jac = jac + j
-        return y, jac
+        return jnp.concatenate(pair, axis=-1), jac
 
     def prior_params(self, lr):
         return self.stp_net(lr)
@@ -124,12 +127,13 @@ class SelfCNetGMM(nn.Module):
     def decode_with_hf(self, lr, hf):
         """Invert the coupling chain with given HF latents (exact inverse
         of encode up to the FrequencyAnalyzer's fixed shuffle asymmetry)."""
-        y = jnp.concatenate([lr, hf], axis=-1)
         if self.scan_blocks:
-            y, _ = self.scan_chain(y, True)
+            y, _ = self.scan_chain(jnp.concatenate([lr, hf], axis=-1), True)
         else:
+            pair = (lr, hf)
             for blk in reversed(self.inv_blocks):
-                y, _ = blk(y, True)
+                pair, _ = blk(pair, True)
+            y = jnp.concatenate(pair, axis=-1)
         return freq_inverse(y, self.scale), y
 
     def nll(self, lr, hf):
@@ -311,11 +315,12 @@ class SelfCNetCodec(nn.Module):
 
     def encode(self, x):
         y = freq_forward(x, self.scale)
+        pair = (y[..., :3], y[..., 3:])  # pair-carry: concat once at end
         jac = 0.0
         for blk in self.inv_blocks:
-            y, j = blk(y, False)
+            pair, j = blk(pair, False)
             jac = jac + j
-        return y, jac
+        return jnp.concatenate(pair, axis=-1), jac
 
     def _sample_hf(self, params):
         if self.fh_loss == "l2":
@@ -328,15 +333,13 @@ class SelfCNetCodec(nn.Module):
             lr = self.deart_2(self.deart_1(self.deart_0(lr)))
         params = self.stp_net(lr)
         hf = self._sample_hf(params)
-        y = jnp.concatenate([lr, hf], axis=-1)
-        for blk in reversed(self.inv_blocks):
-            y, _ = blk(y, True)
-        return freq_inverse(y, self.scale), hf
+        return self.decode_with_hf(lr, hf)[0], hf
 
     def decode_with_hf(self, lr, hf):
-        y = jnp.concatenate([lr, hf], axis=-1)
+        pair = (lr, hf)
         for blk in reversed(self.inv_blocks):
-            y, _ = blk(y, True)
+            pair, _ = blk(pair, True)
+        y = jnp.concatenate(pair, axis=-1)
         return freq_inverse(y, self.scale), y
 
     def roundtrip(self, x):
