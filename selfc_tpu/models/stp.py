@@ -51,7 +51,13 @@ class _PW(nn.Module):
 
 
 class STPNet(nn.Module):
-    """Large / codec spatio-temporal prior."""
+    """Large / codec spatio-temporal prior.
+
+    Split into ``backbone`` (D2DT chains + global aggregations) and
+    ``tail`` (the GMM-parameter MLP) so the two phases can be profiled
+    and optimized independently; ``__call__ = tail(backbone(lr))``.
+    Param names are identical to the single-method layout.
+    """
 
     scale: int = 4
     stp_blk_num: int = 6
@@ -65,41 +71,56 @@ class STPNet(nn.Module):
     def hf_dim(self) -> int:
         return 3 * self.scale * self.scale
 
-    @nn.compact
-    def __call__(self, lr):  # (B,T,h,w,3)
+    def setup(self):
         c, gc = self.hidden_c, self.gc
-        x = D2DT(3, c, gc, "plain_xavier", name="local_m1")(lr)
-        gm = _global_module(self.global_module, c, "global_m1")
-        if gm is not None:
-            x = gm(x)
-        x = D2DT(c, c, gc, "plain_xavier", name="local_m2")(x)
-        gm = _global_module(self.global_module, c, "global_m2")
-        if gm is not None:
-            x = gm(x)
+        self.local_m1 = D2DT(3, c, gc, "plain_xavier")
+        self.local_m2 = D2DT(c, c, gc, "plain_xavier")
+        gm = self.global_module
+        self.global_m1 = _global_module(gm, c, None)
+        self.global_m2 = _global_module(gm, c, None)
         for i in range(self.stp_blk_num - 2):
-            x = D2DT(c, c, gc, "plain_xavier", name=f"other_local_{i}")(x)
-            gm = _global_module(self.global_module, c, f"other_global_{i}")
+            setattr(self, f"other_local_{i}", D2DT(c, c, gc, "plain_xavier"))
+            setattr(self, f"other_global_{i}", _global_module(gm, c, None))
+        if self.fh_loss == "l2":
+            self.tail_0 = _PW(c, self.hf_dim)
+        elif self.fh_loss == "gmm":
+            self.tail_0 = _PW(c, 2 * c)
+            self.tail_1 = _PW(2 * c, 4 * c)
+            self.tail_2 = _PW(4 * c, self.hf_dim * self.gmm_k * 3)
+        elif self.fh_loss == "gmm_thin":
+            self.tail_0 = _PW(c, c)
+            self.tail_1 = _PW(c, c)
+            self.tail_2 = _PW(c, self.hf_dim * self.gmm_k * 3)
+        else:
+            raise ValueError(self.fh_loss)
+
+    def backbone(self, lr):  # (B,T,h,w,3) -> (B,T,h,w,hidden_c)
+        x = self.local_m1(lr)
+        if self.global_m1 is not None:
+            x = self.global_m1(x)
+        x = self.local_m2(x)
+        if self.global_m2 is not None:
+            x = self.global_m2(x)
+        for i in range(self.stp_blk_num - 2):
+            x = getattr(self, f"other_local_{i}")(x)
+            gm = getattr(self, f"other_global_{i}")
             if gm is not None:
                 x = gm(x)
+        return x
 
+    def tail(self, x):  # (B,T,h,w,hidden_c) -> raw GMM params / l2 mean
         if self.fh_loss == "l2":
-            x = leaky_relu(x)
-            return _PW(c, self.hf_dim, name="tail_0")(x)
+            return self.tail_0(leaky_relu(x))
         if self.fh_loss == "gmm":
-            x = leaky_relu(x)
-            x = _PW(c, 2 * c, name="tail_0")(x)
-            x = leaky_relu(x)
-            x = _PW(2 * c, 4 * c, name="tail_1")(x)
-            x = leaky_relu(x)
-            return _PW(4 * c, self.hf_dim * self.gmm_k * 3, name="tail_2")(x)
-        if self.fh_loss == "gmm_thin":
-            x = leaky_relu(x)
-            x = _PW(c, c, name="tail_0")(x)
-            x = nn.relu(x)
-            x = _PW(c, c, name="tail_1")(x)
-            x = nn.relu(x)
-            return _PW(c, self.hf_dim * self.gmm_k * 3, name="tail_2")(x)
-        raise ValueError(self.fh_loss)
+            x = self.tail_0(leaky_relu(x))
+            x = self.tail_1(leaky_relu(x))
+            return self.tail_2(leaky_relu(x))
+        x = nn.relu(self.tail_0(leaky_relu(x)))
+        x = nn.relu(self.tail_1(x))
+        return self.tail_2(x)
+
+    def __call__(self, lr):  # (B,T,h,w,3)
+        return self.tail(self.backbone(lr))
 
 
 class STPNetSmall(nn.Module):

@@ -22,6 +22,7 @@ whose channel index was ((f*K + k)*3 + j), identical to the torch reshape.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,45 @@ import jax.numpy as jnp
 def split_params(raw, hf_dim: int, K: int):
     """(..., hf_dim*K*3) -> (..., hf_dim, K, 3)."""
     return raw.reshape(*raw.shape[:-1], hf_dim, K, 3)
+
+
+def _fast_rng_enabled() -> bool:
+    v = os.environ.get("SELFC_TPU_FAST_RNG", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _to_rbg(rng):
+    """Re-key an arbitrary PRNG key as an 'rbg' key (XLA RngBitGenerator).
+
+    Deterministic given the input key; only the *implementation* of the
+    bit stream changes.
+    """
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(rng)
+    else:
+        data = rng
+    data = jnp.asarray(data, jnp.uint32).reshape(-1)
+    reps = -(-4 // data.shape[0])
+    data = jnp.tile(data, reps)[:4]
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
+def sample_normal(rng, shape, dtype):
+    """N(0,1) draw for the reparameterized GMM sample.
+
+    The flagship decode draws ~42M normals per clip; threefry burns VPU
+    cycles generating them, while the 'rbg' impl rides the hardware
+    RngBitGenerator. Noise is noise — the reference draws torch CUDA RNG
+    here (SelfC_GMM_arch_inv.py:389) so there is no cross-stack stream to
+    preserve. Auto-on off-CPU; SELFC_TPU_FAST_RNG=0/1 forces.
+    """
+    if _fast_rng_enabled():
+        rng = _to_rbg(rng)
+    return jax.random.normal(rng, shape, dtype)
 
 
 def gmm_sample(params, rng, half_logvar: bool = False):
@@ -43,7 +83,7 @@ def gmm_sample(params, rng, half_logvar: bool = False):
     log_scale = jnp.clip(params[..., 1], -7.0, 7.0)
     mean = params[..., 2]
     std = jnp.exp(0.5 * log_scale) if half_logvar else jnp.exp(log_scale)
-    eps = jax.random.normal(rng, mean.shape, mean.dtype)
+    eps = sample_normal(rng, mean.shape, mean.dtype)
     return jnp.sum(pi * (mean + eps * std), axis=-1)  # over K
 
 

@@ -589,3 +589,58 @@ class TestMixedPrecisionTrain:
             losses[mp] = float(logs["loss"])
         assert np.isfinite(losses[True])
         assert abs(losses[True] - losses[False]) < 0.1 * abs(losses[False])
+
+
+class TestSTPBackboneTailSplit:
+    def test_call_equals_tail_of_backbone(self):
+        """STPNet.__call__ == tail(backbone(.)) with identical param names
+        (the split exists so the profiler can time the phases separately)."""
+        from selfc_tpu.models.stp import STPNet
+
+        net = STPNet(scale=4, stp_blk_num=3, fh_loss="gmm", gmm_k=2)
+        lr = jnp.asarray(
+            np.random.default_rng(1).random((1, 3, 8, 8, 3)), jnp.float32
+        )
+        params = net.init(jax.random.PRNGKey(0), lr)["params"]
+        # legacy @nn.compact layout names must survive the setup() split
+        assert "local_m1" in params and "tail_0" in params
+        full = net.apply({"params": params}, lr)
+        feats = net.apply({"params": params}, lr, method=net.backbone)
+        tail = net.apply({"params": params}, feats, method=net.tail)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(tail),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestFastRng:
+    def test_rbg_path_samples_standard_normal(self, monkeypatch):
+        """SELFC_TPU_FAST_RNG=1 swaps the eps stream to the rbg impl; the
+        draw must stay deterministic-per-key and ~N(0,1)."""
+        monkeypatch.setenv("SELFC_TPU_FAST_RNG", "1")
+        from selfc_tpu.ops.gmm import sample_normal
+
+        k = jax.random.PRNGKey(7)
+        a = np.asarray(sample_normal(k, (200_000,), jnp.float32))
+        b = np.asarray(sample_normal(k, (200_000,), jnp.float32))
+        np.testing.assert_array_equal(a, b)
+        assert abs(a.mean()) < 0.02 and abs(a.std() - 1.0) < 0.02
+        monkeypatch.setenv("SELFC_TPU_FAST_RNG", "0")
+        c = np.asarray(sample_normal(k, (200_000,), jnp.float32))
+        assert not np.array_equal(a, c)  # different bit stream
+        assert abs(c.mean()) < 0.02 and abs(c.std() - 1.0) < 0.02
+
+    def test_gmm_sample_respects_flag(self, monkeypatch):
+        from selfc_tpu.ops.gmm import gmm_sample, split_params
+
+        raw = jnp.asarray(
+            np.random.default_rng(0).random((2, 4, 4, 8 * 2 * 3)),
+            jnp.float32,
+        )
+        p = split_params(raw, 8, 2)
+        k = jax.random.PRNGKey(3)
+        monkeypatch.setenv("SELFC_TPU_FAST_RNG", "1")
+        fast = np.asarray(gmm_sample(p, k))
+        monkeypatch.setenv("SELFC_TPU_FAST_RNG", "0")
+        slow = np.asarray(gmm_sample(p, k))
+        assert fast.shape == slow.shape == (2, 4, 4, 8)
+        # same distribution family, different streams
+        assert np.all(np.isfinite(fast)) and np.all(np.isfinite(slow))

@@ -77,6 +77,27 @@ def main():
         # collapse params back to 3ch to chain
         return jnp.clip(lrin + 0.0 * p[..., :3], 0, 1)
 
+    def stp_backbone(lrin):
+        b = net.apply(
+            {"params": params}, lrin,
+            method=lambda m, v: m.stp_net.backbone(v),
+        )
+        return jnp.clip(lrin + 0.0 * b[..., :3], 0, 1)
+
+    feat = jnp.asarray(
+        np.random.default_rng(3).random(lr.shape[:-1] + (64,)), dtype
+    )
+
+    def stp_tail_sample(fin):  # 64ch features -> GMM params -> sample
+        from selfc_tpu.ops.gmm import gmm_sample, split_params
+
+        p = net.apply(
+            {"params": params}, fin, method=lambda m, v: m.stp_net.tail(v)
+        )
+        hf = gmm_sample(split_params(p, 48, 5), key)
+        pad = [(0, 0)] * (fin.ndim - 1) + [(0, fin.shape[-1] - hf.shape[-1])]
+        return fin + 1e-6 * jnp.pad(hf, pad)
+
     def dec(lrin):
         hr, _ = net.apply(
             {"params": params}, lrin, method=net.decode,
@@ -101,6 +122,8 @@ def main():
         ("full roundtrip", full, x),
         ("encode (8 blocks fwd, incl freq rt)", enc, x),
         ("stp prior only", stp, lr),
+        ("stp backbone (chains+aggs)", stp_backbone, lr),
+        ("stp tail MLP + gmm sample", stp_tail_sample, feat),
         ("decode (stp + sample + 8 blocks rev)", dec, lr),
         ("freq fwd+inv", freq_rt, x),
         ("quantize", quant, lr),
