@@ -35,23 +35,29 @@ class GlobalAgg(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
-        w1 = self.param("proj1_w", _torch_default_w, (C, C))
-        b1 = self.param("proj1_b", _torch_default_b(C), (C,))
+        # fp32 master params cast down to the activation dtype — without
+        # this, einsum promotion silently upgrades everything downstream
+        # of the first agg to fp32 under mixed-precision training
+        dt = x.dtype
+        w1 = self.param("proj1_w", _torch_default_w, (C, C)).astype(dt)
+        b1 = self.param("proj1_b", _torch_default_b(C), (C,)).astype(dt)
         x_proj1 = pointwise(x, w1, b1)
 
         pooled = adaptive_avg_pool2d(x, (32, 32))  # (B,T,32,32,C)
         pooled = pooled.reshape(B, T, 32 * 32, C)
-        wf = self.param("fc_w", _torch_default_w, (32 * 32, 1))
-        bf = self.param("fc_b", _torch_default_b(32 * 32), (1,))
+        wf = self.param("fc_w", _torch_default_w, (32 * 32, 1)).astype(dt)
+        bf = self.param("fc_b", _torch_default_b(32 * 32), (1,)).astype(dt)
         tokens = jnp.einsum("btpc,po->btc", pooled, wf) + bf[0]  # (B,T,C)
 
-        w2 = self.param("proj2_w", _torch_default_w, (C, C))
-        b2 = self.param("proj2_b", _torch_default_b(C), (C,))
-        w3 = self.param("proj3_w", _torch_default_w, (C, C))
-        b3 = self.param("proj3_b", _torch_default_b(C), (C,))
+        w2 = self.param("proj2_w", _torch_default_w, (C, C)).astype(dt)
+        b2 = self.param("proj2_b", _torch_default_b(C), (C,)).astype(dt)
+        w3 = self.param("proj3_w", _torch_default_w, (C, C)).astype(dt)
+        b3 = self.param("proj3_b", _torch_default_b(C), (C,)).astype(dt)
         q = tokens @ w2 + b2
         k = tokens @ w3 + b3
-        attn = jax.nn.softmax((q @ k.transpose(0, 2, 1)) / C, axis=-1)  # (B,T,T)
+        # softmax stays fp32 (T x T is tiny; exp in bf16 costs accuracy)
+        logits = (q @ k.transpose(0, 2, 1)).astype(jnp.float32) / C
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)  # (B,T,T)
         # reference: out frame j = x_j + sum_i attn[i, j] * proj1(x_i)
         weighted = jnp.einsum("bihwc,bij->bjhwc", x_proj1, attn)
         return x + weighted
@@ -68,15 +74,26 @@ class DeformConvAgg(nn.Module):
         B, T, H, W, C = x.shape
         K = 3
         x_stacked = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
-        off_w = self.param("offset_w", zeros_init, (K, K, T * C, 2 * K * K * T * T))
-        off_b = self.param("offset_b", zeros_init, (2 * K * K * T * T,))
-        mod_w = self.param("modulator_w", zeros_init, (K, K, T * C, K * K * T * T))
-        mod_b = self.param("modulator_b", zeros_init, (K * K * T * T,))
+        dt = x.dtype  # fp32 masters cast to the activation dtype
+        off_w = self.param(
+            "offset_w", zeros_init, (K, K, T * C, 2 * K * K * T * T)
+        ).astype(dt)
+        off_b = self.param(
+            "offset_b", zeros_init, (2 * K * K * T * T,)
+        ).astype(dt)
+        mod_w = self.param(
+            "modulator_w", zeros_init, (K, K, T * C, K * K * T * T)
+        ).astype(dt)
+        mod_b = self.param(
+            "modulator_b", zeros_init, (K * K * T * T,)
+        ).astype(dt)
         reg_w = self.param(
             "regular_w", _torch_default_w, (K, K, C, C)
-        )
-        reg_b = self.param("regular_b", _torch_default_b(C * K * K), (C,))
-        proj_w = self.param("proj_w", zeros_init, (C, C))
+        ).astype(dt)
+        reg_b = self.param(
+            "regular_b", _torch_default_b(C * K * K), (C,)
+        ).astype(dt)
+        proj_w = self.param("proj_w", zeros_init, (C, C)).astype(dt)
 
         offset = conv2d(x_stacked, off_w, off_b)  # (B,H,W,2KK*T*T)
         modulator = 2.0 * jax.nn.sigmoid(conv2d(x_stacked, mod_w, mod_b))
@@ -115,22 +132,31 @@ class GroupedGlobalDeformAgg(nn.Module):
         # grouped global context reallocation over (T*cg) channels per group
         xg = x.reshape(B, T, H, W, g, cg)
         xg = xg.transpose(0, 4, 2, 3, 1, 5).reshape(B * g, H, W, T * cg)
-        r1_w = self.param("realloc1_w", _torch_default_w, (3, 3, gcp, gcp))
-        r1_b = self.param("realloc1_b", _torch_default_b(gcp * 9), (gcp,))
-        r2_w = self.param("realloc2_w", zeros_init, (3, 3, gcp, gcp))
-        r2_b = self.param("realloc2_b", zeros_init, (gcp,))
+        dt = x.dtype  # fp32 masters cast to the activation dtype
+        r1_w = self.param(
+            "realloc1_w", _torch_default_w, (3, 3, gcp, gcp)
+        ).astype(dt)
+        r1_b = self.param(
+            "realloc1_b", _torch_default_b(gcp * 9), (gcp,)
+        ).astype(dt)
+        r2_w = self.param("realloc2_w", zeros_init, (3, 3, gcp, gcp)).astype(dt)
+        r2_b = self.param("realloc2_b", zeros_init, (gcp,)).astype(dt)
         h = leaky_relu(conv2d(xg, r1_w, r1_b), 0.2)
         h = conv2d(h, r2_w, r2_b)
         xe = xg + h
         xe = xe.reshape(B, g, H, W, T, cg).transpose(0, 4, 2, 3, 1, 5)
         x_enh = xe.reshape(B, T, H, W, C)
 
-        off_w = self.param("offset_w", zeros_init, (K, K, C, 2 * K * K * T))
-        off_b = self.param("offset_b", zeros_init, (2 * K * K * T,))
-        mod_w = self.param("modulator_w", zeros_init, (K, K, C, K * K * T))
-        mod_b = self.param("modulator_b", zeros_init, (K * K * T,))
-        reg_w = self.param("regular_w", zeros_init, (K, K, C, C))
-        reg_b = self.param("regular_b", zeros_init, (C,))
+        off_w = self.param(
+            "offset_w", zeros_init, (K, K, C, 2 * K * K * T)
+        ).astype(dt)
+        off_b = self.param("offset_b", zeros_init, (2 * K * K * T,)).astype(dt)
+        mod_w = self.param(
+            "modulator_w", zeros_init, (K, K, C, K * K * T)
+        ).astype(dt)
+        mod_b = self.param("modulator_b", zeros_init, (K * K * T,)).astype(dt)
+        reg_w = self.param("regular_w", zeros_init, (K, K, C, C)).astype(dt)
+        reg_b = self.param("regular_b", zeros_init, (C,)).astype(dt)
 
         xf = x_enh.reshape(B * T, H, W, C)
         offset = conv2d(xf, off_w, off_b).reshape(B, T, H, W, T, 2 * K * K)

@@ -159,7 +159,9 @@ class DenseChain(nn.Module):
                 x, tuple(ws), tuple(bs), w5, b5, mode, clamp, a, m
             )
 
-        if self._fused_ok(x):
+        # v2 handles shapes the v1 spatial kernel cannot (arbitrary W via
+        # in-kernel pad-column zeroing), so it gets its own chance here
+        if self._fused_ok(x) or self._fused_v2_ok(x, conv5):
             x5 = self._fused(x, convs, conv5)
         else:
             x1 = leaky_relu(convs[0](x))

@@ -47,7 +47,8 @@ class _PW(nn.Module):
     def __call__(self, x):
         w = self.param("weight", torch_default_w, (self.c_in, self.c_out))
         b = self.param("bias", torch_default_b(self.c_in), (self.c_out,))
-        return pointwise(x, w, b)
+        # cast fp32 masters to the activation dtype (mixed precision)
+        return pointwise(x, w.astype(x.dtype), b.astype(x.dtype))
 
 
 class STPNet(nn.Module):

@@ -286,7 +286,10 @@ def _pick_tile_h_v2(H: int, lanes: int, c_out: int = 48) -> int | None:
 def chain_v2_shapes_ok(T: int, H: int, W: int, C: int, c_out: int) -> bool:
     X = _round_up(C, GC)
     th = _pick_tile_h_v2(H, X + 4 * GC, c_out)
-    return th is not None and W % 16 == 0
+    # any W: the wrapper pads to a 16-column multiple and the kernel keeps
+    # the pad columns zeroed. Only bail when padding would outweigh the
+    # kernel's ~2.4x advantage over the XLA chain (pad ratio > 2).
+    return th is not None and 2 * W >= _round_up(W, 16)
 
 
 def _prep_w5_v2(w5, C: int, X: int, c_out: int):
@@ -340,20 +343,20 @@ def ep_apply(y, mode, clamp, a=None, m=None):
 
 
 def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, *rest,
-                     TH, W, X, H, T, slope, ep="none", clamp=1.0):
+                     TH, W, WT=None, X, H, T, slope, ep="none", clamp=1.0):
     n_aux = EP_AUX[ep]
     aux = rest[:n_aux]
     o_ref, work, slots = rest[n_aux], rest[n_aux + 1], rest[n_aux + 2]
     _chain_kernel_v2_body(
         x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux, o_ref,
-        work, slots, TH=TH, W=W, X=X, H=H, T=T, slope=slope, ep=ep,
-        clamp=clamp,
+        work, slots, TH=TH, W=W, WT=W if WT is None else WT, X=X, H=H, T=T,
+        slope=slope, ep=ep, clamp=clamp,
     )
 
 
 def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
-                          o_ref, work, slots, *, TH, W, X, H, T, slope, ep,
-                          clamp):
+                          o_ref, work, slots, *, TH, W, WT, X, H, T, slope,
+                          ep, clamp):
     # Column handling: the work buffer is exactly W wide (W % 16 == 0 by
     # the shape gate) — the dx taps at the image edges are resolved by
     # CLIPPED adds in the assembly below instead of zero-padded columns.
@@ -404,7 +407,13 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
             acc = jnp.where(acc >= 0, acc, slope * acc)
             h0 = i_tile * TH + i - 4
             rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
-            acc = jnp.where((rr >= 0) & (rr < H), acc, 0.0)
+            ok = (rr >= 0) & (rr < H)
+            if WT < W:
+                # pad columns must stay zero (bias+lrelu made them
+                # nonzero) so the next conv's dx=+1 tap at col WT-1
+                # reads true zeros ('same' zero-pad semantics)
+                ok = ok & (ww < WT)
+            acc = jnp.where(ok, acc, 0.0)
             work[ro0:ro1, :, X + GC * (i - 1):X + GC * i] = (
                 acc.astype(work.dtype)
             )
@@ -425,29 +434,45 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
                     (TH, W, Xp), slots.dtype
                 )
 
-    # out(t-1): one dot over all three slots with the phase-selected weight
-    phase = t % 3
-    inp5 = slots[...].reshape(TH * W, 3 * Xp)
-    w5p = w5_ref[pl.ds(phase, 1)][0]
-    y5 = jax.lax.dot_general(
-        inp5, w5p,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ).reshape(TH, W, -1)
-    y5 = y5 + b5_ref[0].astype(f32)
-    if ep != "none":
-        aa = aux[0][0, 0].astype(f32) if len(aux) >= 1 else None
-        mm = aux[1][0, 0].astype(f32) if len(aux) >= 2 else None
-        y5 = ep_apply(y5, ep, clamp, aa, mm)
-    # at t==0 (warm-up step) this writes a partial out(0); t==1 overwrites
-    # the same block with the complete value before it flushes.
-    o_ref[0, 0] = y5.astype(o_ref.dtype)
+    # out(t-1): one dot over all three slots with the phase-selected
+    # weight. t==0 is the warm-up step (out(-1) does not exist): the out
+    # spec maps t=0 and t=1 to the SAME block, which only flushes when its
+    # index changes at t=2, so the whole emit is skipped — saving one
+    # conv5 dot per (batch, row-tile).
+    @pl.when(t > 0)
+    def _emit():
+        phase = t % 3
+        inp5 = slots[...].reshape(TH * W, 3 * Xp)
+        w5p = w5_ref[pl.ds(phase, 1)][0]
+        y5 = jax.lax.dot_general(
+            inp5, w5p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(TH, W, -1)
+        y5 = y5 + b5_ref[0].astype(f32)
+        if ep != "none":
+            aa = aux[0][0, 0].astype(f32) if len(aux) >= 1 else None
+            mm = aux[1][0, 0].astype(f32) if len(aux) >= 2 else None
+            y5 = ep_apply(y5, ep, clamp, aa, mm)
+        o_ref[0, 0] = y5.astype(o_ref.dtype)
 
 
 def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
     """x: (B,T,H,W,C); ws: 4 conv weights; w5: (3, C+4*GC, Cout).
     Returns ep_apply(conv5(concat(x, x1..x4)), a, m): (B,T,H,W,Cout)."""
     B, T, H, W, C = x.shape
+    # width to a 16-column multiple (bf16 sublane tile): pad columns carry
+    # zeros through the whole chain (the kernel re-zeroes them after each
+    # bias+lrelu), which IS the 'same' zero-pad conv semantics, then the
+    # output is sliced back. Train-config latents (e.g. 36x36) hit this.
+    WT = W
+    Wp = _round_up(W, 16)
+    if Wp != W:
+        wpad = ((0, 0), (0, 0), (0, 0), (0, Wp - W), (0, 0))
+        x = jnp.pad(x, wpad)
+        a = jnp.pad(a, wpad) if a is not None else None
+        m = jnp.pad(m, wpad) if m is not None else None
+        W = Wp
     X = _round_up(C, GC)
     c_out = w5.shape[-1]
     TH = _pick_tile_h_v2(H, X + 4 * GC, c_out)
@@ -459,7 +484,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
     b5p = b5.astype(jnp.float32).reshape(1, -1)
 
     kernel = partial(
-        _chain_kernel_v2, TH=TH, W=W, X=X, H=H, T=T, slope=0.2,
+        _chain_kernel_v2, TH=TH, W=W, WT=WT, X=X, H=H, T=T, slope=0.2,
         ep=ep, clamp=clamp,
     )
     aux_arrays = [v for v in (a, m)[:EP_AUX[ep]]]
@@ -504,6 +529,8 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
         ),
         interpret=jax.default_backend() == "cpu",
     )(xp, *wps, bss, w5p, b5p, *[v.astype(x.dtype) for v in aux_arrays])
+    if WT != W:
+        out = out[:, :, :, :WT, :]
     return out
 
 
@@ -767,7 +794,7 @@ def _impl_best(x, ws, bs, w5, b5):
     B, T, H, W, C = x.shape
     if chain_v3_enabled() and chain_v3_shapes_ok(T, H, W, C, w5.shape[-1]):
         return _pallas_impl_v3(x, ws, bs, w5, b5)
-    if ride_ok(w5.shape[-1]):
+    if ride_ok(w5.shape[-1], W):
         return _pallas_impl_v2r(x, ws, bs, w5, b5)
     return _pallas_impl_v2(x, ws, bs, w5, b5)
 
@@ -784,8 +811,21 @@ def _xla_impl_v2(x, ws, bs, w5, b5):
 
 
 @jax.custom_vjp
-def fused_dense_chain_t(x, ws, bs, w5, b5):
+def _fused_dense_chain_t_cv(x, ws, bs, w5, b5):
     return _impl_best(x, ws, bs, w5, b5)
+
+
+def fused_dense_chain_t(x, ws, bs, w5, b5):
+    """Public whole-chain call; casts params to the activation dtype BEFORE
+    the custom_vjp so the Pallas forward and the XLA backward oracle agree
+    on every dtype (mixed-precision training feeds bf16 activations with
+    fp32 master params — the outer astype converts the bf16 cotangent back
+    to fp32 for Adam)."""
+    dt = x.dtype
+    return _fused_dense_chain_t_cv(
+        x, tuple(w.astype(dt) for w in ws), tuple(b.astype(dt) for b in bs),
+        w5.astype(dt), b5.astype(dt),
+    )
 
 
 def _fdc_fwd(x, ws, bs, w5, b5):
@@ -798,7 +838,7 @@ def _fdc_bwd(res, g):
     return vjp(g)
 
 
-fused_dense_chain_t.defvjp(_fdc_fwd, _fdc_bwd)
+_fused_dense_chain_t_cv.defvjp(_fdc_fwd, _fdc_bwd)
 
 
 # ===========================================================================
@@ -822,10 +862,11 @@ fused_dense_chain_t.defvjp(_fdc_fwd, _fdc_bwd)
 # opt-in experiment (SELFC_TPU_PALLAS_RIDE=1), default OFF.
 
 
-def ride_ok(c_out: int) -> bool:
+def ride_ok(c_out: int, W: int = 16) -> bool:
     if os.environ.get("SELFC_TPU_PALLAS_RIDE", "") != "1":
         return False
-    return 96 + 3 * c_out <= 128
+    # the ride kernel has no padded-W support (opt-in experiment)
+    return 96 + 3 * c_out <= 128 and W % 16 == 0
 
 
 def _prep_weight_ride(w, w5, C: int, X: int, feat: int):
@@ -1042,7 +1083,8 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
     XLA formulation (rematerialization, as the base kernel does)."""
 
     def prim(x, ws, bs, w5, b5, *aux):
-        impl = _pallas_impl_v2r if ride_ok(w5.shape[-1]) else _pallas_impl_v2
+        impl = (_pallas_impl_v2r if ride_ok(w5.shape[-1], x.shape[3])
+                else _pallas_impl_v2)
         return impl(
             x, ws, bs, w5, b5, ep=ep, clamp=clamp,
             a=aux[0] if n_aux >= 1 else None,
@@ -1068,9 +1110,15 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
 
 
 def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
-    """fused_dense_chain_t with the coupling epilogue applied in-kernel."""
+    """fused_dense_chain_t with the coupling epilogue applied in-kernel.
+
+    Params AND epilogue aux are cast to the activation dtype before the
+    custom_vjp (see fused_dense_chain_t) so the kernel and the XLA
+    backward oracle agree on every aval under mixed precision."""
+    dt = x.dtype
     n_aux = EP_AUX[ep_mode]
-    aux = tuple(v for v in (a, m)[:n_aux])
+    aux = tuple(v.astype(dt) for v in (a, m)[:n_aux])
     return _fused_chain_ep(ep_mode, float(clamp), n_aux)(
-        x, ws, bs, w5, b5, *aux
+        x, tuple(w.astype(dt) for w in ws), tuple(b.astype(dt) for b in bs),
+        w5.astype(dt), b5.astype(dt), *aux
     )

@@ -43,7 +43,42 @@ def _kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, negative_slope):
 def temporal_conv3_pallas(x, w, b=None, negative_slope=None, tile_s: int = 1024):
     """x: (B,T,H,W,C); w: (3,C,Co); b: (Co,). Zero-padded along T.
 
-    Equivalent to ops.conv.temporal_conv3 (+ optional fused LeakyReLU)."""
+    Equivalent to ops.conv.temporal_conv3 (+ optional fused LeakyReLU).
+    Differentiable: backward re-derives through the XLA formulation via a
+    custom VJP (pallas_call itself has no autodiff rule)."""
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), x.dtype)
+    ns = -1.0 if negative_slope is None else float(negative_slope)
+    return _tc3_cv(x, w.astype(x.dtype), b.astype(x.dtype), ns, int(tile_s))
+
+
+def _tc3_xla(x, w, b, ns):
+    from .conv import leaky_relu, temporal_conv3
+
+    y = temporal_conv3(x, w, b)
+    return leaky_relu(y, ns) if ns >= 0 else y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _tc3_cv(x, w, b, ns, tile_s):
+    return _tc3_impl(x, w, b, negative_slope=None if ns < 0 else ns,
+                     tile_s=tile_s)
+
+
+def _tc3_fwd(x, w, b, ns, tile_s):
+    return _tc3_cv(x, w, b, ns, tile_s), (x, w, b)
+
+
+def _tc3_bwd(ns, tile_s, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x, w, b: _tc3_xla(x, w, b, ns), x, w, b)
+    return vjp(g)
+
+
+_tc3_cv.defvjp(_tc3_fwd, _tc3_bwd)
+
+
+def _tc3_impl(x, w, b=None, negative_slope=None, tile_s: int = 1024):
     B, T, H, W, C = x.shape
     Co = w.shape[-1]
     S = H * W

@@ -91,6 +91,10 @@ class CodecModel:
         self.keyint = self.net_opt["h265_keyint"]
         self.h265_all_default = bool(self.net_opt["h265_all_default"])
         self.use_surrogate = bool(self.is_train and self.train_opt["h265_sug"])
+        # train.mixed_precision: bf16 activations / fp32 masters, mirroring
+        # RescaleModel. The 255-level rounding and the host codec always
+        # see fp32; losses accumulate in fp32.
+        self._mp = bool(self.is_train and self.train_opt["mixed_precision"])
         self.noise_type = self.train_opt["noise_type"] if self.is_train else "h265"
         train_len = (
             opt["datasets"]["train"]["video_len"]
@@ -194,6 +198,8 @@ class CodecModel:
 
     def _encode_lf(self, params, hr):
         """The encode half the host codec depends on: HR -> LF (3ch)."""
+        if self._mp:
+            hr = hr.astype(jnp.bfloat16)
         y, _ = self.net.apply(
             {"params": params["net"]}, hr, method=self.net.encode
         )
@@ -215,7 +221,10 @@ class CodecModel:
         def fwd(params, hr):
             lf, f_vjp = jax.vjp(self._encode_lf, params, hr)
             _, consts = closure_convert_all(f_vjp, lf)
-            lr_q = jnp.round(jnp.clip(lf, 0.0, 1.0) * 255.0) / 255.0
+            # the host codec's input rounds at fp32 boundaries (bf16 under
+            # mixed precision would shift the 255-level bins)
+            lf32 = lf.astype(jnp.float32)
+            lr_q = jnp.round(jnp.clip(lf32, 0.0, 1.0) * 255.0) / 255.0
             return lf, lr_q, tuple(consts)
 
         # capture the converted VJP callable; tracing fwd abstractly
@@ -251,17 +260,20 @@ class CodecModel:
         lr_q = quantize_ste(lf)
         k1, k2 = jax.random.split(rng)
         lr_distorted, mimick = self._distort_lr(params, lr_q, codec_out, q_value, k1)
+        # the host codec_out is fp32; under mixed precision the swap
+        # promotes — bring the decode input back to the activation dtype
         hr_rec, _ = self.net.apply(
             {"params": params["net"]},
-            lr_distorted,
+            lr_distorted.astype(lf.dtype),
             method=self.net.decode,
             rngs={"sample": k2},
         )
         l_forw_fit = (to["lambda_fit_forw"] or 1.0) * reconstruction_loss(
-            lf, ref_l, to["pixel_criterion_forw"] or "l2"
+            lf.astype(jnp.float32), ref_l, to["pixel_criterion_forw"] or "l2"
         )
         l_back_rec = (to["lambda_rec_back"] or 1.0) * reconstruction_loss(
-            hr_rec, hr, to["pixel_criterion_back"] or "l1"
+            hr_rec.astype(jnp.float32), hr,
+            to["pixel_criterion_back"] or "l1"
         )
         loss_c = jnp.zeros(())  # reference :472
         mimick_term = (to["lambda_mimick_loss"] or 1.0) * mimick

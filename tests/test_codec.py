@@ -127,6 +127,18 @@ class TestCodecModelE2E:
         assert np.isfinite(logs["loss"])
         assert "mimick_loss" in logs
 
+        # mixed precision: bf16 activations through the split train step
+        # (encode VJP residuals + surrogate swap), fp32 masters/losses
+        opt_mp = _tiny_codec_opt(tmp_path, str(tmp_path))
+        opt_mp["train"]["mixed_precision"] = True
+        model_mp = CodecModel(opt_mp)
+        clip1 = rng.random((1, 3, 32, 32, 3)).astype(np.float32)
+        model_mp.feed_data({"GT": clip1})
+        model_mp.optimize_parameters(1)
+        logs_mp = model_mp.get_current_log()
+        assert np.isfinite(logs_mp["loss"])
+        assert jax.tree.leaves(model_mp.params)[0].dtype == jnp.float32
+
         # streaming eval on a longer clip (T=7 -> pads to 3 segments)
         clip = rng.random((1, 7, 32, 32, 3)).astype(np.float32)
         model.feed_data({"GT": clip})

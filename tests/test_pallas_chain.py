@@ -122,6 +122,9 @@ def _mk_chain_v2(rng, C, c_out):
         ((2, 3, 24, 32, 48), 3),   # multi-batch, tiny Cout
         ((1, 1, 12, 16, 64), 64),  # T=1 edge (both neighbors zero)
         ((1, 2, 12, 16, 51), 12),  # unaligned C
+        ((2, 3, 36, 36, 3), 48),   # train-config latent: W padded 36->48
+        ((1, 2, 24, 20, 48), 9),   # W padded 20->32
+        ((1, 2, 8, 8, 3), 48),     # tiny test latent: W padded 8->16
     ],
 )
 def test_v2_kernel_matches_xla(shape, c_out):
@@ -151,10 +154,30 @@ def test_v2_custom_vjp_matches_xla_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_v2_custom_vjp_padded_w_grads():
+    # W=36 exercises the pad-to-48 forward; backward recomputes via XLA,
+    # so this pins end-to-end grad correctness through the padded path.
+    rng = np.random.default_rng(3)
+    ws, bs, w5, b5 = _mk_chain_v2(rng, 3, 48)
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 12, 36, 3)), jnp.float32)
+
+    def loss_f(x):
+        return jnp.sum(fused_dense_chain_t(x, ws, bs, w5, b5) ** 2)
+
+    def loss_r(x):
+        return jnp.sum(_xla_impl_v2(x, ws, bs, w5, b5) ** 2)
+
+    np.testing.assert_allclose(float(loss_f(x)), float(loss_r(x)), rtol=1e-5)
+    g1, g2 = jax.grad(loss_f)(x), jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
+
+
 def test_v2_shape_gate():
     assert chain_v2_shapes_ok(7, 144, 176, 51, 48)
     assert not chain_v2_shapes_ok(7, 145, 176, 51, 48)  # no usable tile
-    assert not chain_v2_shapes_ok(7, 144, 177, 51, 48)  # W not 16-aligned
+    assert chain_v2_shapes_ok(7, 144, 177, 51, 48)   # W pads 177->192
+    assert chain_v2_shapes_ok(7, 36, 36, 51, 48)     # train latent 36->48
+    assert not chain_v2_shapes_ok(7, 36, 7, 51, 48)  # pad ratio > 2: XLA
 
 
 # --------------------------------------------------------------------------

@@ -591,6 +591,48 @@ class TestMixedPrecisionTrain:
         assert abs(losses[True] - losses[False]) < 0.1 * abs(losses[False])
 
 
+class TestMixedPrecisionDtypeHygiene:
+    def test_roundtrip_stays_bf16(self):
+        """A bf16 input must come back bf16: flax-free modules (GlobalAgg,
+        STP tail pointwise) cast their fp32 masters down instead of letting
+        einsum promotion silently upgrade the decode path to fp32."""
+        from selfc_tpu.models.inv_nets import SelfCNetGMM
+
+        net = SelfCNetGMM(block_num=(1, 1), stp_blk_num=2, gmm_k=2)
+        x32 = jnp.asarray(
+            np.random.default_rng(0).random((1, 2, 32, 32, 3)), jnp.float32
+        )
+        variables = net.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            x32, method=net.roundtrip,
+        )
+        out = net.apply(
+            variables, x32.astype(jnp.bfloat16), method=net.roundtrip,
+            rngs={"sample": jax.random.PRNGKey(2)},
+        )
+        assert out["hr"].dtype == jnp.bfloat16
+        assert out["lr"].dtype == jnp.bfloat16
+
+    def test_bf16_step_with_fused_kernels(self, monkeypatch):
+        """Mixed-precision grad step THROUGH the fused Pallas chains:
+        bf16 activations with fp32 master params must not trip the
+        custom-VJP aval check (params/aux are cast before the custom_vjp —
+        regression for the train-shape padded-W rollout)."""
+        monkeypatch.setenv("SELFC_TPU_PALLAS", "1")
+        from selfc_tpu.train.rescale_model import RescaleModel
+
+        hr = jnp.asarray(
+            np.random.default_rng(0).random((1, 2, 32, 32, 3)), jnp.float32
+        )
+        opt = _gmm_opt(train_extra={"mixed_precision": True})
+        m = RescaleModel(opt)
+        p, s, logs = m._train_step(
+            m.params, m.opt_state, hr, jnp.float32(1e-4), jnp.int32(0)
+        )
+        assert float(logs["skipped_nonfinite"]) == 0.0
+        assert np.isfinite(float(logs["loss"]))
+
+
 class TestSTPBackboneTailSplit:
     def test_call_equals_tail_of_backbone(self):
         """STPNet.__call__ == tail(backbone(.)) with identical param names
