@@ -149,6 +149,14 @@ class DenseChain(nn.Module):
         if ep is not None and self.is_res:
             raise ValueError("ep epilogue requires is_res=False")
 
+        if ep == "weights":
+            # raw-weight collection: InvBlockExp routes an H/G pair of
+            # chains into ONE fused kernel (ops.pallas_chain.fused_hg_pair)
+            # — params are created here exactly as in the compute path
+            ws, bs = zip(*(c.weights() for c in convs))
+            w5, b5 = conv5.weights()
+            return tuple(ws), tuple(bs), w5, b5
+
         if ep is not None and self._fused_v2_ok(x, conv5):
             from ..ops.pallas_chain import fused_dense_chain_t_ep
 

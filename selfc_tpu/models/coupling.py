@@ -88,7 +88,13 @@ class InvBlockExp(nn.Module):
         # conv5 accumulator — no extra HBM round-trips between the three
         # chains of a block. Identical math either way; jac is recovered as
         # sum(log(exp(s))).
-        from ..ops.pallas_chain import chain_v2_enabled, chain_v2_shapes_ok
+        from ..ops.pallas_chain import (
+            chain_v2_enabled,
+            chain_v2_shapes_ok,
+            fused_hg_pair,
+            hg_enabled,
+            hg_shapes_ok,
+        )
 
         use_ep = (
             getattr(type(F), "SUPPORTS_EP", False)
@@ -97,7 +103,27 @@ class InvBlockExp(nn.Module):
             and chain_v2_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s1, s2)
             and chain_v2_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s2, s1)
         )
-        if use_ep and not rev:
+        # H and G always share their input (y1 fwd / x1 rev): one fused
+        # launch computes both chains AND the y2 combine, with exp(+-s)
+        # kept on the fp32 accumulator (never round-tripped through HBM)
+        use_hg = (
+            use_ep
+            and hg_enabled()
+            and hg_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s1, s2)
+        )
+        if use_hg and not rev:
+            y1 = F(x2, ep=("add", 1.0, x1, None))
+            hw = H(y1, ep="weights")
+            gw = G(y1, ep="weights")
+            y2, s_exp = fused_hg_pair(y1, x2, *hw, *gw, self.clamp, False)
+            jac = jnp.sum(jnp.log(s_exp))
+        elif use_hg:
+            hw = H(x1, ep="weights")
+            gw = G(x1, ep="weights")
+            y2, s_exp_n = fused_hg_pair(x1, x2, *hw, *gw, self.clamp, True)
+            y1 = F(y2, ep=("sub_from", 1.0, x1, None))
+            jac = jnp.sum(jnp.log(s_exp_n))
+        elif use_ep and not rev:
             y1 = F(x2, ep=("add", 1.0, x1, None))
             s_exp = H(y1, ep=("sig_exp", self.clamp, None, None))
             y2 = G(y1, ep=("mul_add", 1.0, x2, s_exp))

@@ -354,19 +354,100 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, *rest,
     )
 
 
+def _spatial_chain_into(x_block, w_refs, b_ref, work, *, i_tile, TH, W, WT,
+                        X, H, slope):
+    """Fill `work` with [x | x1..x4] for one (frame, row-tile) window.
+
+    Column handling: the work buffer is exactly W wide (W % 16 == 0 by
+    the shape gate) — the dx taps at the image edges are resolved by
+    CLIPPED adds in the assembly below instead of zero-padded columns.
+    That removes the old round-up-to-192 column pad from every MXU dot
+    (~8% of dot rows at the flagship W=176)."""
+    f32 = jnp.float32
+    work[:, :, :X] = x_block
+    for i in range(1, 5):
+        kin = X + GC * (i - 1)
+        ri0 = i - 1
+        ro0, ro1 = i, TH + 8 - i
+        r_out = ro1 - ro0
+        w = w_refs[i - 1]
+        part = None
+        for dy in range(3):
+            inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                r_out * W, kin
+            )
+            d = jax.lax.dot_general(
+                inp, w[dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            part = d if part is None else part + d
+        part = part.reshape(r_out, W, 3 * GC)
+        # acc[:, w] = sum_dx part[:, w + dx - 1, seg dx]; edge taps fall
+        # on zero padding in the old scheme -> rolled + masked here
+        # (tpu.rotate on the sublane dim; the wrapped column is zeroed)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (r_out, W, 1), 1)
+        a0 = pltpu.roll(part[:, :, 0:GC], 1, 1)
+        a0 = jnp.where(ww >= 1, a0, 0.0)
+        a2 = pltpu.roll(part[:, :, 2 * GC:3 * GC], W - 1, 1)
+        a2 = jnp.where(ww <= W - 2, a2, 0.0)
+        acc = a0 + part[:, :, GC:2 * GC] + a2
+        acc = acc + b_ref[i - 1].astype(f32)
+        acc = jnp.where(acc >= 0, acc, slope * acc)
+        h0 = i_tile * TH + i - 4
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
+        ok = (rr >= 0) & (rr < H)
+        if WT < W:
+            # pad columns must stay zero (bias+lrelu made them
+            # nonzero) so the next conv's dx=+1 tap at col WT-1
+            # reads true zeros ('same' zero-pad semantics)
+            ok = ok & (ww < WT)
+        acc = jnp.where(ok, acc, 0.0)
+        work[ro0:ro1, :, X + GC * (i - 1):X + GC * i] = (
+            acc.astype(work.dtype)
+        )
+
+
+def _deposit_slot(slots, work, t, TH, Xp):
+    """Deposit this frame's inner rows (one contiguous copy: the work
+    buffer is already [x | x1..x4]) into slot t%3."""
+    for s in range(3):
+        @pl.when(t % 3 == s)
+        def _deposit(s=s):
+            slots[:, :, s * Xp:(s + 1) * Xp] = work[4:TH + 4]
+
+
+def _zero_slot(slots, t, TH, W, Xp):
+    """f(T) does not exist; its slot must read as zero for out(T-1)."""
+    for s in range(3):
+        @pl.when(t % 3 == s)
+        def _z(s=s):
+            slots[:, :, s * Xp:(s + 1) * Xp] = jnp.zeros(
+                (TH, W, Xp), slots.dtype
+            )
+
+
+def _conv5_phase_dot(slots, w5_ref, b5_ref, phase, TH, W):
+    """out(t-1): one dot over all three slots with the phase-selected
+    weight. Returns the fp32 (TH, W, c_out) accumulator + bias."""
+    f32 = jnp.float32
+    inp5 = slots[...].reshape(TH * W, -1)
+    w5p = w5_ref[pl.ds(phase, 1)][0]
+    y5 = jax.lax.dot_general(
+        inp5, w5p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(TH, W, -1)
+    return y5 + b5_ref[0].astype(f32)
+
+
 def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
                           o_ref, work, slots, *, TH, W, WT, X, H, T, slope,
                           ep, clamp):
-    # Column handling: the work buffer is exactly W wide (W % 16 == 0 by
-    # the shape gate) — the dx taps at the image edges are resolved by
-    # CLIPPED adds in the assembly below instead of zero-padded columns.
-    # That removes the old round-up-to-192 column pad from every MXU dot
-    # (~8% of dot rows at the flagship W=176).
     i_tile = pl.program_id(1)
     t = pl.program_id(2)
     f32 = jnp.float32
     Xp = X + 4 * GC
-    w_refs = (w1, w2, w3, w4)
 
     @pl.when(t == 0)
     def _zero_slots():
@@ -374,82 +455,23 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
 
     @pl.when(t < T)
     def _compute():
-        # identical spatial-chain scheme to the v1 kernel
-        work[:, :, :X] = x_ref[0, 0]
-        for i in range(1, 5):
-            kin = X + GC * (i - 1)
-            ri0 = i - 1
-            ro0, ro1 = i, TH + 8 - i
-            r_out = ro1 - ro0
-            w = w_refs[i - 1]
-            part = None
-            for dy in range(3):
-                inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
-                    r_out * W, kin
-                )
-                d = jax.lax.dot_general(
-                    inp, w[dy],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                part = d if part is None else part + d
-            part = part.reshape(r_out, W, 3 * GC)
-            # acc[:, w] = sum_dx part[:, w + dx - 1, seg dx]; edge taps fall
-            # on zero padding in the old scheme -> rolled + masked here
-            # (tpu.rotate on the sublane dim; the wrapped column is zeroed)
-            ww = jax.lax.broadcasted_iota(jnp.int32, (r_out, W, 1), 1)
-            a0 = pltpu.roll(part[:, :, 0:GC], 1, 1)
-            a0 = jnp.where(ww >= 1, a0, 0.0)
-            a2 = pltpu.roll(part[:, :, 2 * GC:3 * GC], W - 1, 1)
-            a2 = jnp.where(ww <= W - 2, a2, 0.0)
-            acc = a0 + part[:, :, GC:2 * GC] + a2
-            acc = acc + b_ref[i - 1].astype(f32)
-            acc = jnp.where(acc >= 0, acc, slope * acc)
-            h0 = i_tile * TH + i - 4
-            rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
-            ok = (rr >= 0) & (rr < H)
-            if WT < W:
-                # pad columns must stay zero (bias+lrelu made them
-                # nonzero) so the next conv's dx=+1 tap at col WT-1
-                # reads true zeros ('same' zero-pad semantics)
-                ok = ok & (ww < WT)
-            acc = jnp.where(ok, acc, 0.0)
-            work[ro0:ro1, :, X + GC * (i - 1):X + GC * i] = (
-                acc.astype(work.dtype)
-            )
-        # deposit this frame's inner rows (one contiguous copy: the work
-        # buffer is already [x | x1..x4]) into slot t%3
-        for s in range(3):
-            @pl.when(t % 3 == s)
-            def _deposit(s=s):
-                slots[:, :, s * Xp:(s + 1) * Xp] = work[4:TH + 4]
+        _spatial_chain_into(
+            x_ref[0, 0], (w1, w2, w3, w4), b_ref, work,
+            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+        )
+        _deposit_slot(slots, work, t, TH, Xp)
 
     @pl.when(t == T)
     def _zero_future_slot():
-        # f(T) does not exist; its slot must read as zero for out(T-1)
-        for s in range(3):
-            @pl.when(t % 3 == s)
-            def _z(s=s):
-                slots[:, :, s * Xp:(s + 1) * Xp] = jnp.zeros(
-                    (TH, W, Xp), slots.dtype
-                )
+        _zero_slot(slots, t, TH, W, Xp)
 
-    # out(t-1): one dot over all three slots with the phase-selected
-    # weight. t==0 is the warm-up step (out(-1) does not exist): the out
-    # spec maps t=0 and t=1 to the SAME block, which only flushes when its
-    # index changes at t=2, so the whole emit is skipped — saving one
-    # conv5 dot per (batch, row-tile).
+    # t==0 is the warm-up step (out(-1) does not exist): the out spec maps
+    # t=0 and t=1 to the SAME block, which only flushes when its index
+    # changes at t=2, so the whole emit is skipped — saving one conv5 dot
+    # per (batch, row-tile).
     @pl.when(t > 0)
     def _emit():
-        phase = t % 3
-        inp5 = slots[...].reshape(TH * W, 3 * Xp)
-        w5p = w5_ref[pl.ds(phase, 1)][0]
-        y5 = jax.lax.dot_general(
-            inp5, w5p,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).reshape(TH, W, -1)
-        y5 = y5 + b5_ref[0].astype(f32)
+        y5 = _conv5_phase_dot(slots, w5_ref, b5_ref, t % 3, TH, W)
         if ep != "none":
             aa = aux[0][0, 0].astype(f32) if len(aux) >= 1 else None
             mm = aux[1][0, 0].astype(f32) if len(aux) >= 2 else None
@@ -839,6 +861,232 @@ def _fdc_bwd(res, g):
 
 
 _fused_dense_chain_t_cv.defvjp(_fdc_fwd, _fdc_bwd)
+
+
+# ===========================================================================
+# HG pair: both coupling subnets H and G in ONE kernel launch
+# ===========================================================================
+#
+# In every InvBlockExp the H and G chains read the SAME input (y1 on the
+# forward pass, x1 on the reverse — reference SelfC_GMM_arch_inv.py:18-34),
+# and their outputs only ever meet in the coupling combine:
+#   fwd: y2 = x2 * exp(s) + G(y1),  s = clamp*(2*sigmoid(H(y1)) - 1)
+#   rev: y2 = (x2 - G(x1)) * exp(-s)
+# This kernel runs both chains in one pallas_call — one grid, one shared
+# x window read, two work/slot buffers — and applies the combine on the
+# fp32 conv5 accumulators: exp(+-s) never round-trips HBM at all (the
+# separate-launch scheme wrote it bf16 and re-read it as the `m` aux).
+# Outputs: (y2, exp(+-s)); the caller takes sum(log(.)) of the second for
+# the log-jacobian.
+
+
+def hg_enabled() -> bool:
+    """HG pair kernel gate — DEFAULT OFF: measured on v5e at the flagship
+    latent shape (7x144x176, bf16), the pair launch is at best a wash vs
+    two ep launches (1.60 vs 1.57 ms at its best tile TH=24) and 1.4x
+    WORSE at v2's preferred TH=36 — the doubled work+slot VMEM footprint
+    degrades the input-window pipelining more than the saved launch and
+    the in-VMEM exp(s) hand-off gain. Kept as an opt-in experiment:
+    SELFC_TPU_PALLAS_HG=1 enables."""
+    return os.environ.get("SELFC_TPU_PALLAS_HG", "") == "1"
+
+
+def _pick_tile_h_hg(H: int, lanes: int) -> int | None:
+    # 24 first: the doubled buffers make v2's 36-row tile ~1.4x slower
+    order = (24, 16, 36, 12, 8, 6, 4)
+    forced = os.environ.get("SELFC_TPU_TILE_H", "")
+    if forced:
+        order = (int(forced),)
+    for th in order:
+        if H % th != 0:
+            continue
+        work = (th + 8) * 192 * lanes * 2
+        slot = 3 * th * 192 * lanes * 2
+        part = (th + 6) * 192 * 128 * 4
+        if 2 * (work + slot) + part < 90 * 2 ** 20:
+            return th
+    return None
+
+
+def hg_shapes_ok(T: int, H: int, W: int, C: int, c_out: int) -> bool:
+    X = _round_up(C, GC)
+    th = _pick_tile_h_hg(H, X + 4 * GC)
+    return th is not None and 2 * W >= _round_up(W, 16)
+
+
+def _hg_kernel(x_ref, hw1, hw2, hw3, hw4, hb, hw5, hb5,
+               gw1, gw2, gw3, gw4, gb, gw5, gb5, x2_ref,
+               y2_ref, se_ref, work_h, slots_h, work_g, slots_g, *,
+               TH, W, WT, X, H, T, slope, clamp, rev):
+    i_tile = pl.program_id(1)
+    t = pl.program_id(2)
+    f32 = jnp.float32
+    Xp = X + 4 * GC
+
+    @pl.when(t == 0)
+    def _zero_slots():
+        slots_h[...] = jnp.zeros_like(slots_h)
+        slots_g[...] = jnp.zeros_like(slots_g)
+
+    @pl.when(t < T)
+    def _compute():
+        xb = x_ref[0, 0]
+        _spatial_chain_into(
+            xb, (hw1, hw2, hw3, hw4), hb, work_h,
+            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+        )
+        _deposit_slot(slots_h, work_h, t, TH, Xp)
+        _spatial_chain_into(
+            xb, (gw1, gw2, gw3, gw4), gb, work_g,
+            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+        )
+        _deposit_slot(slots_g, work_g, t, TH, Xp)
+
+    @pl.when(t == T)
+    def _zero_future_slot():
+        _zero_slot(slots_h, t, TH, W, Xp)
+        _zero_slot(slots_g, t, TH, W, Xp)
+
+    @pl.when(t > 0)
+    def _emit():
+        phase = t % 3
+        h5 = _conv5_phase_dot(slots_h, hw5, hb5, phase, TH, W)
+        g5 = _conv5_phase_dot(slots_g, gw5, gb5, phase, TH, W)
+        sgn = -1.0 if rev else 1.0
+        se = jnp.exp(sgn * clamp * (2.0 * jax.nn.sigmoid(h5) - 1.0))
+        x2b = x2_ref[0, 0].astype(f32)
+        y2 = (x2b - g5) * se if rev else x2b * se + g5
+        y2_ref[0, 0] = y2.astype(y2_ref.dtype)
+        se_ref[0, 0] = se.astype(se_ref.dtype)
+
+
+def _pallas_impl_hg(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5,
+                    clamp, rev):
+    """x: (B,T,H,W,C) shared chain input; x2: (B,T,H,W,c_out) coupling
+    counterpart. Returns (y2, exp(+-s)), both (B,T,H,W,c_out)."""
+    B, T, H, W, C = x.shape
+    WT = W
+    Wp = _round_up(W, 16)
+    if Wp != W:
+        wpad = ((0, 0), (0, 0), (0, 0), (0, Wp - W), (0, 0))
+        x = jnp.pad(x, wpad)
+        x2 = jnp.pad(x2, wpad)
+        W = Wp
+    X = _round_up(C, GC)
+    c_out = hw5.shape[-1]
+    TH = _pick_tile_h_hg(H, X + 4 * GC)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (0, 0), (0, X - C)))
+    hps = [_prep_weight(w.astype(x.dtype), C, X) for w in hws]
+    gps = [_prep_weight(w.astype(x.dtype), C, X) for w in gws]
+    hbss = jnp.stack([b.astype(jnp.float32) for b in hbs])
+    gbss = jnp.stack([b.astype(jnp.float32) for b in gbs])
+    hw5p = _prep_w5_v2(hw5.astype(x.dtype), C, X, c_out)
+    gw5p = _prep_w5_v2(gw5.astype(x.dtype), C, X, c_out)
+    hb5p = hb5.astype(jnp.float32).reshape(1, -1)
+    gb5p = gb5.astype(jnp.float32).reshape(1, -1)
+
+    kernel = partial(
+        _hg_kernel, TH=TH, W=W, WT=WT, X=X, H=H, T=T, slope=0.2,
+        clamp=float(clamp), rev=bool(rev),
+    )
+    w_spec = [
+        pl.BlockSpec((3, X + GC * k, 3 * GC), lambda b, i, t: (0, 0, 0))
+        for k in range(4)
+    ]
+    chain_specs = w_spec + [
+        pl.BlockSpec((4, GC), lambda b, i, t: (0, 0)),
+        pl.BlockSpec((3, 3 * (X + 4 * GC), c_out),
+                     lambda b, i, t: (0, 0, 0)),
+        pl.BlockSpec((1, c_out), lambda b, i, t: (0, 0)),
+    ]
+    lagged = pl.BlockSpec(
+        (1, 1, TH, W, c_out),
+        lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+    )
+    y2, se = pl.pallas_call(
+        kernel,
+        grid=(B, H // TH, T + 1),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype),
+            jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype),
+        ],
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(1), pl.Element(TH + 8),
+                 pl.Element(W), pl.Element(X)),
+                lambda b, i, t: (b, jnp.minimum(t, T - 1), i * TH, 0, 0),
+            ),
+            *chain_specs,
+            *chain_specs,
+            lagged,
+        ],
+        out_specs=[lagged, lagged],
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, W, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH, W, 3 * (X + 4 * GC)), x.dtype),
+            pltpu.VMEM((TH + 8, W, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH, W, 3 * (X + 4 * GC)), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *hps, hbss, hw5p, hb5p, *gps, gbss, gw5p, gb5p, x2)
+    if WT != W:
+        y2 = y2[:, :, :, :WT, :]
+        se = se[:, :, :, :WT, :]
+    return y2, se
+
+
+def _xla_hg(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev):
+    """XLA oracle/backward for the HG pair (same math, unfused)."""
+    h5 = _xla_impl_v2(x, hws, hbs, hw5, hb5)
+    g5 = _xla_impl_v2(x, gws, gbs, gw5, gb5)
+    sgn = -1.0 if rev else 1.0
+    se = jnp.exp(sgn * clamp * (2.0 * jax.nn.sigmoid(h5) - 1.0))
+    y2 = (x2 - g5) * se if rev else x2 * se + g5
+    return y2, se
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def _hg_cv(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev):
+    B, T, H, W, C = x.shape
+    if hg_shapes_ok(T, H, W, C, hw5.shape[-1]):
+        return _pallas_impl_hg(
+            x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev
+        )
+    return _xla_hg(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev)
+
+
+def _hg_fwd(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev):
+    args = (x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5)
+    return _hg_cv(*args, clamp, rev), args
+
+
+def _hg_bwd(clamp, rev, res, g):
+    _, vjp = jax.vjp(lambda *a: _xla_hg(*a, clamp, rev), *res)
+    return vjp(g)
+
+
+_hg_cv.defvjp(_hg_fwd, _hg_bwd)
+
+
+def fused_hg_pair(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev):
+    """Both coupling subnets + the y2 combine in one launch.
+
+    Returns (y2, exp(+-s)). Params are cast to the activation dtype BEFORE
+    the custom_vjp (see fused_dense_chain_t) so the Pallas forward and the
+    XLA backward oracle agree on every aval under mixed precision."""
+    dt = x.dtype
+    return _hg_cv(
+        x, x2.astype(dt),
+        tuple(w.astype(dt) for w in hws), tuple(b.astype(dt) for b in hbs),
+        hw5.astype(dt), hb5.astype(dt),
+        tuple(w.astype(dt) for w in gws), tuple(b.astype(dt) for b in gbs),
+        gw5.astype(dt), gb5.astype(dt),
+        float(clamp), bool(rev),
+    )
 
 
 # ===========================================================================

@@ -350,3 +350,89 @@ def test_coupling_fused_matches_plain():
     assert abs(outs["1"][1] - outs["0"][1]) < 1e-2 * max(1, abs(outs["0"][1]))
     # exact invertibility through the fused path
     np.testing.assert_allclose(outs["1"][2], np.asarray(x), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# HG pair kernel (both coupling subnets + the y2 combine in one launch)
+# --------------------------------------------------------------------------
+
+from selfc_tpu.ops.pallas_chain import (  # noqa: E402
+    _xla_hg,
+    fused_hg_pair,
+    hg_shapes_ok,
+)
+
+
+@pytest.mark.parametrize("rev", [False, True])
+@pytest.mark.parametrize(
+    "shape,c_out",
+    [
+        ((1, 3, 24, 32, 3), 48),  # flagship-like, multi-tile H
+        ((2, 2, 12, 20, 3), 12),  # codec-like c_out, W padded 20->32
+    ],
+)
+def test_hg_kernel_matches_oracle(shape, c_out, rev):
+    rng = np.random.default_rng(11)
+    h = _mk_chain_v2(rng, shape[-1], c_out)
+    g = _mk_chain_v2(rng, shape[-1], c_out)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    x2 = jnp.asarray(rng.normal(0, 1, shape[:-1] + (c_out,)), jnp.float32)
+    y2a, sea = fused_hg_pair(x, x2, *h, *g, 1.0, rev)
+    y2b, seb = _xla_hg(x, x2, *h, *g, 1.0, rev)
+    np.testing.assert_allclose(np.asarray(y2a), np.asarray(y2b), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sea), np.asarray(seb), atol=2e-5)
+
+
+def test_hg_grads_match_oracle():
+    rng = np.random.default_rng(12)
+    h = _mk_chain_v2(rng, 3, 12)
+    g = _mk_chain_v2(rng, 3, 12)
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 8, 16, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(0, 1, (1, 2, 8, 16, 12)), jnp.float32)
+
+    def loss(fn):
+        def go(x, x2, h, g):
+            y2, se = fn(x, x2, *h, *g, 1.0, False)
+            # jac-style log(se) term pins gradient flow through se too
+            return jnp.sum(y2 ** 2) + jnp.sum(jnp.log(se))
+        return go
+
+    np.testing.assert_allclose(
+        float(loss(fused_hg_pair)(x, x2, h, g)),
+        float(loss(_xla_hg)(x, x2, h, g)), rtol=1e-5,
+    )
+    ga = jax.grad(loss(fused_hg_pair), argnums=(0, 1, 2, 3))(x, x2, h, g)
+    gb = jax.grad(loss(_xla_hg), argnums=(0, 1, 2, 3))(x, x2, h, g)
+    for u, v in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-3)
+
+
+def test_hg_shape_gate():
+    assert hg_shapes_ok(7, 144, 176, 3, 48)
+    assert hg_shapes_ok(7, 36, 36, 3, 48)       # train latent, W pads 36->48
+    assert not hg_shapes_ok(7, 145, 176, 3, 48)  # no usable tile
+    assert not hg_shapes_ok(7, 36, 7, 3, 48)     # pad ratio > 2
+
+
+def test_coupling_hg_off_matches_on():
+    """InvBlockExp: the HG pair path (default when kernels are on) vs the
+    two-launch ep path (SELFC_TPU_PALLAS_HG=0) — identical fwd/rev/jac."""
+    from selfc_tpu.models.blocks import subnet
+    from selfc_tpu.models.coupling import InvBlockExp
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 2, 12, 16, 51)), jnp.float32)
+    blk = InvBlockExp(51, 3, subnet("D2DTNet", "xavier"))
+    v = blk.init(jax.random.PRNGKey(0), x)
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["SELFC_TPU_PALLAS_HG"] = flag
+        y, jac = blk.apply(v, x, False)
+        xr, jac_r = blk.apply(v, y, True)
+        outs[flag] = (np.asarray(y), float(jac), np.asarray(xr), float(jac_r))
+    del os.environ["SELFC_TPU_PALLAS_HG"]
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0], atol=3e-5)
+    np.testing.assert_allclose(outs["1"][2], outs["0"][2], atol=3e-5)
+    assert abs(outs["1"][1] - outs["0"][1]) < 1e-2 * max(1, abs(outs["0"][1]))
+    np.testing.assert_allclose(outs["1"][2], np.asarray(x), atol=1e-4)
