@@ -212,7 +212,9 @@ class DenseChain(nn.Module):
             and self.kmid == "s"
             and self.k5 == "t"
             and conv5.dilation == 1
-            and self.gc == 32
+            # gc < 32 (codec STP gc=12) rides the kernel via zero-padded
+            # growth segments (ops.pallas_chain.pad_gc_params)
+            and self.gc <= 32
             and not self.early_3d
             and x.ndim == 5
             and chain_v2_enabled()

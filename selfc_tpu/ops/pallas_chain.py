@@ -837,13 +837,45 @@ def _fused_dense_chain_t_cv(x, ws, bs, w5, b5):
     return _impl_best(x, ws, bs, w5, b5)
 
 
+def pad_gc_params(ws, bs, w5):
+    """Zero-pad a gc<32 chain's params to the kernel's 32-lane growth
+    segments (the codec STP runs gc=12, reference
+    SelfC_Codec_arch_inv.py:253 stp_denseblock_innerc).
+
+    K and N round to the MXU's 128 granularity anyway, so the padded dots
+    take the same number of passes as true-gc dots would — the pad lanes
+    carry exact zeros (zero weights + zero bias -> lrelu 0) and contribute
+    nothing. Happens OUTSIDE the custom_vjp, so weight cotangents flow
+    back through the pad's slice adjoint automatically."""
+    gc = ws[0].shape[-1]
+    if gc == GC:
+        return ws, bs, w5
+    C = ws[0].shape[2]
+    pws = []
+    for i, w in enumerate(ws):
+        segs = [w[:, :, :C]]
+        for j in range(i):
+            s = w[:, :, C + j * gc:C + (j + 1) * gc]
+            segs.append(jnp.pad(s, ((0, 0), (0, 0), (0, GC - gc), (0, 0))))
+        wp = jnp.concatenate(segs, axis=2) if i else segs[0]
+        pws.append(jnp.pad(wp, ((0, 0), (0, 0), (0, 0), (0, GC - gc))))
+    pbs = tuple(jnp.pad(b, (0, GC - gc)) for b in bs)
+    segs5 = [w5[:, :C]]
+    for j in range(4):
+        s = w5[:, C + j * gc:C + (j + 1) * gc]
+        segs5.append(jnp.pad(s, ((0, 0), (0, GC - gc), (0, 0))))
+    return tuple(pws), pbs, jnp.concatenate(segs5, axis=1)
+
+
 def fused_dense_chain_t(x, ws, bs, w5, b5):
     """Public whole-chain call; casts params to the activation dtype BEFORE
     the custom_vjp so the Pallas forward and the XLA backward oracle agree
     on every dtype (mixed-precision training feeds bf16 activations with
     fp32 master params — the outer astype converts the bf16 cotangent back
-    to fp32 for Adam)."""
+    to fp32 for Adam). gc<32 chains are zero-padded to the kernel's
+    32-lane growth (pad_gc_params)."""
     dt = x.dtype
+    ws, bs, w5 = pad_gc_params(ws, bs, w5)
     return _fused_dense_chain_t_cv(
         x, tuple(w.astype(dt) for w in ws), tuple(b.astype(dt) for b in bs),
         w5.astype(dt), b5.astype(dt),
@@ -1079,6 +1111,8 @@ def fused_hg_pair(x, x2, hws, hbs, hw5, hb5, gws, gbs, gw5, gb5, clamp, rev):
     the custom_vjp (see fused_dense_chain_t) so the Pallas forward and the
     XLA backward oracle agree on every aval under mixed precision."""
     dt = x.dtype
+    hws, hbs, hw5 = pad_gc_params(hws, hbs, hw5)
+    gws, gbs, gw5 = pad_gc_params(gws, gbs, gw5)
     return _hg_cv(
         x, x2.astype(dt),
         tuple(w.astype(dt) for w in hws), tuple(b.astype(dt) for b in hbs),
@@ -1362,8 +1396,10 @@ def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
 
     Params AND epilogue aux are cast to the activation dtype before the
     custom_vjp (see fused_dense_chain_t) so the kernel and the XLA
-    backward oracle agree on every aval under mixed precision."""
+    backward oracle agree on every aval under mixed precision. gc<32
+    chains are zero-padded to the kernel's 32-lane growth."""
     dt = x.dtype
+    ws, bs, w5 = pad_gc_params(ws, bs, w5)
     n_aux = EP_AUX[ep_mode]
     aux = tuple(v.astype(dt) for v in (a, m)[:n_aux])
     return _fused_chain_ep(ep_mode, float(clamp), n_aux)(
