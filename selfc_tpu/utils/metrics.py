@@ -30,6 +30,8 @@ def rgb_to_ycbcr(img):
 
 def psnr(img1, img2):
     """Per-frame PSNR. imgs: (N, H, W, C) in [0,1]; returns (N,)."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     mse = jnp.mean((img1 - img2) ** 2, axis=(-3, -2, -1))
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
 
@@ -41,10 +43,15 @@ def _gauss_win(size=11, sigma=1.5):
 
 
 def _gaussian_filter(x, win):
-    """Separable valid-padding blur of (N,H,W,C) with per-channel kernel."""
+    """Separable valid-padding blur of (N,H,W,C) with per-channel kernel.
+
+    Precision is pinned to HIGHEST: SSIM's variances are computed as
+    E[X^2] - mu^2, and with the TPU's default bf16-operand convs the
+    cancellation error (~1e-3) exceeds C2 (9e-4), driving the cs_map
+    denominator negative and SSIM outside [-1, 1]. Metrics must not
+    depend on the process-wide matmul-precision policy.
+    """
     w = jnp.asarray(win)
-    y = jnp.apply_along_axis  # placeholder to appease linters
-    del y
     # conv along H then W (valid), channelwise
     x = jax.lax.conv_general_dilated(
         x,
@@ -53,6 +60,7 @@ def _gaussian_filter(x, win):
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1],
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
         x,
@@ -61,11 +69,14 @@ def _gaussian_filter(x, win):
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1],
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x
 
 
 def _ssim_full(X, Y, data_range=1.0, win_size=11, win_sigma=1.5):
+    X = X.astype(jnp.float32)
+    Y = Y.astype(jnp.float32)
     win = _gauss_win(win_size, win_sigma)
     C1 = (0.01 * data_range) ** 2
     C2 = (0.03 * data_range) ** 2

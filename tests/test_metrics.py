@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -95,3 +96,20 @@ def test_ycbcr_matches_reference():
     y = 0.299 * r + 0.587 * g + 0.114 * b
     want = np.stack([y, (b - y) * 0.564 + 0.5, (r - y) * 0.713 + 0.5], -1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_immune_to_low_precision_policy():
+    """SSIM must stay correct (and in [-1,1]) under a process-wide low
+    matmul-precision policy. On TPU the default conv precision truncates
+    operands to bf16; E[X^2]-mu^2 then cancels catastrophically (error
+    ~1e-3 > C2=9e-4), which produced validation SSIMs of 2.63 / -0.51
+    during on-chip training. _gaussian_filter now pins HIGHEST."""
+    a, b = _pair(h=96, w=96)
+    want = _torch_ssim(_t(a), _t(b)).numpy()
+    with jax.default_matmul_precision("bfloat16"):
+        got = np.asarray(M.ssim(jnp.asarray(a), jnp.asarray(b)))
+        got_bf16_in = np.asarray(
+            M.ssim(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16))
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert np.all(np.abs(got_bf16_in) <= 1.0 + 1e-6)
