@@ -222,6 +222,8 @@ def _fds_fwd(x, ws, bs):
 
 def _fds_bwd(res, g):
     x, ws, bs = res
+    if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
+        return _pallas_bwd(x, ws, bs, g)
     _, vjp = jax.vjp(_xla_impl, x, ws, bs)
     return vjp(g)
 
@@ -886,8 +888,26 @@ def _fdc_fwd(x, ws, bs, w5, b5):
     return _impl_best(x, ws, bs, w5, b5), (x, ws, bs, w5, b5)
 
 
+def _conv5_head(x, feats, w5, b5):
+    """The whole-chain call minus the spatial chain: temporal conv5 over
+    (x, feats) without materializing their concat. Matmul-shaped — its
+    adjoint stays in XLA (see the backward section)."""
+    from .conv import temporal_conv3
+
+    C = x.shape[-1]
+    return (temporal_conv3(x, w5[:, :C].astype(x.dtype), None)
+            + temporal_conv3(feats, w5[:, C:].astype(x.dtype),
+                             b5.astype(x.dtype)))
+
+
 def _fdc_bwd(res, g):
     x, ws, bs, w5, b5 = res
+    if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
+        feats = _pallas_feats(x, ws, bs)
+        _, vjp5 = jax.vjp(_conv5_head, x, feats, w5, b5)
+        dx_direct, dfeats, dw5, db5 = vjp5(g)
+        dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats)
+        return dx_direct + dx_chain, dws, dbs, dw5, db5
     _, vjp = jax.vjp(_xla_impl_v2, x, ws, bs, w5, b5)
     return vjp(g)
 
@@ -1378,6 +1398,19 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
 
     def bwd(res, g):
         x, ws, bs, w5, b5, aux = res
+        if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
+            feats = _pallas_feats(x, ws, bs)
+
+            def head(x, feats, w5, b5, *aux):
+                y = _conv5_head(x, feats, w5, b5)
+                a = aux[0] if len(aux) >= 1 else None
+                m = aux[1] if len(aux) >= 2 else None
+                return ep_apply(y, ep, clamp, a, m)
+
+            _, vjp5 = jax.vjp(head, x, feats, w5, b5, *aux)
+            dx_direct, dfeats, dw5, db5, *daux = vjp5(g)
+            dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats)
+            return (dx_direct + dx_chain, dws, dbs, dw5, db5, *daux)
         _, vjp = jax.vjp(
             lambda x, ws, bs, w5, b5, *aux: _xla_impl_v2_ep(
                 ep, clamp, x, ws, bs, w5, b5, *aux
@@ -1406,3 +1439,307 @@ def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
         x, tuple(w.astype(dt) for w in ws), tuple(b.astype(dt) for b in bs),
         w5.astype(dt), b5.astype(dt), *aux
     )
+
+
+# ===========================================================================
+# backward: fused adjoint of the spatial chain
+# ===========================================================================
+#
+# The round-2 custom-VJPs rematerialized through the UNfused XLA chain:
+# backward cost = XLA fwd recompute + XLA adjoint, both memory-bound with
+# the same idle-lane problem the forward kernel fixed. This section fuses
+# the chain adjoint the same way the forward is fused:
+#
+# * one grid step per (frame, row-tile) recomputes the forward work buffer
+#   in VMEM (cheap — it IS the fused forward; LeakyReLU masks come free
+#   from the post-activation signs since lrelu preserves sign);
+# * a reverse sweep k=4..1 over the convs: dacc = dout * lrelu'(out),
+#   the rolled-edge-add adjoint rebuilds the dx-packed dpart, then per
+#   kernel row dy: ONE MXU dot accumulates dW[dy] (+= work_shift^T @
+#   dpart) and ONE MXU dot spreads dwork[..:kin] (+= dpart @ w[dy]^T) —
+#   exactly mirroring the forward's 3-dot scheme;
+# * dW/db accumulate across the whole sequential TPU grid directly in
+#   their output blocks (constant index maps keep them VMEM-resident);
+# * dx is emitted per tile WITH its 4-row halos (each tile's chain is an
+#   independent function of its padded input window; tile outputs are
+#   disjoint, so summing per-tile input-gradients is exact) and
+#   overlap-added in XLA (nt <= 6 static adds).
+#
+# The temporal conv5 (and any coupling epilogue) adjoint stays in XLA —
+# it is matmul-shaped and elementwise — over feats from a spatial-only
+# Pallas forward (`_pallas_feats`), so the unfused XLA chain never runs.
+
+
+def _chain_bwd_kernel(x_ref, w1, w2, w3, w4, b_ref, g_ref,
+                      dx_ref, dw1, dw2, dw3, dw4, db_ref, work, dwork,
+                      *, TH, W, WT, X, H, slope):
+    bt = pl.program_id(0)
+    i_tile = pl.program_id(1)
+    f32 = jnp.float32
+    w_refs = (w1, w2, w3, w4)
+    dw_refs = (dw1, dw2, dw3, dw4)
+
+    @pl.when(jnp.logical_and(bt == 0, i_tile == 0))
+    def _zero_param_grads():
+        for dwr in dw_refs:
+            dwr[...] = jnp.zeros_like(dwr)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # 1. forward recompute: work = [x | x1..x4] for this tile (+halos)
+    _spatial_chain_into(
+        x_ref[0], w_refs, b_ref, work,
+        i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+    )
+
+    # 2. seed dwork with the output cotangent on the central rows
+    dwork[...] = jnp.zeros_like(dwork)
+    dwork[4:TH + 4, :, X:] = g_ref[0].astype(f32)
+
+    # 3. reverse sweep
+    ww_full = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    for k in (4, 3, 2, 1):
+        kin = X + GC * (k - 1)
+        ri0 = k - 1
+        ro0, ro1 = k, TH + 8 - k
+        r_out = ro1 - ro0
+        out_k = work[ro0:ro1, :, X + GC * (k - 1):X + GC * k]
+        dout = dwork[ro0:ro1, :, X + GC * (k - 1):X + GC * k]
+        # both where-branches stay full vectors (a scalar branch hits a
+        # Mosaic relayout error on the i1 mask) and the sign test runs in
+        # f32 (Mosaic rejects bf16 vector compares on this target)
+        dacc = jnp.where(out_k.astype(f32) > 0, dout, dout * slope)
+        # adjoint of the forward's row/col masks (they forced out to 0)
+        h0 = i_tile * TH + k - 4
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
+        ok = (rr >= 0) & (rr < H)
+        if WT < W:
+            ok = ok & (ww_full < WT)
+        dacc = jnp.where(ok, dacc, 0.0)
+        # db
+        db_ref[k - 1:k, :] = db_ref[k - 1:k, :] + jnp.sum(
+            dacc, axis=(0, 1)
+        ).reshape(1, GC)
+        # adjoint of the rolled edge adds: rebuild the dx-packed dpart
+        dp0 = pltpu.roll(jnp.where(ww_full >= 1, dacc, 0.0), W - 1, 1)
+        dp2 = pltpu.roll(jnp.where(ww_full <= W - 2, dacc, 0.0), 1, 1)
+        dpart = jnp.concatenate([dp0, dacc, dp2], axis=-1)
+        dpart_c = dpart.astype(work.dtype).reshape(r_out * W, 3 * GC)
+        for dy in range(3):
+            inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                r_out * W, kin
+            )
+            dwk = jax.lax.dot_general(
+                inp, dpart_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (kin, 3*GC)
+            dw_refs[k - 1][dy] = dw_refs[k - 1][dy] + dwk
+            dinp = jax.lax.dot_general(
+                dpart_c, w_refs[k - 1][dy],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ).reshape(r_out, W, kin)
+            dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] = (
+                dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] + dinp
+            )
+
+    # 4. emit this tile's input-gradient window (halos included)
+    dx_ref[0, 0] = dwork[:, :, :X]
+
+
+def _pick_tile_h_bwd(H: int, W: int, X: int) -> int | None:
+    lanes = X + 4 * GC
+    forced = os.environ.get("SELFC_TPU_TILE_H_BWD", "")
+    order = (int(forced),) if forced else (24, 16, 12, 8, 6, 4)
+    for th in order:
+        if H % th != 0:
+            continue
+        need = (
+            (th + 8) * W * lanes * 2      # work (act dtype, assume bf16+)
+            + (th + 8) * W * lanes * 4    # dwork f32
+            + (th + 6) * W * 96 * 4       # dpart f32
+            + (4 * X + 6 * GC) * 3 * 96 * 4  # dW blocks f32
+            + 2 * (th + 8) * W * X * 2    # x window (dbl buffered)
+            + 2 * th * W * 4 * GC * 2     # g window
+            + 2 * (th + 8) * W * X * 4    # dx out block f32
+        )
+        if need < 48 * 2 ** 20:
+            return th
+    return None
+
+
+def chain_bwd_ok(H: int, W: int, C: int) -> bool:
+    X = _round_up(C, GC)
+    return _pick_tile_h_bwd(H, _round_up(W, 16), X) is not None
+
+
+def chain_bwd_enabled() -> bool:
+    """Fused chain adjoint; SELFC_TPU_PALLAS_BWD=0 disables, =1 forces
+    (interpret mode off-TPU, used by tests). Default follows the forward
+    kernel gate."""
+    flag = os.environ.get("SELFC_TPU_PALLAS_BWD", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return chain_fused_enabled()
+
+
+def _unprep_weight(dwp, C: int, X: int, Cin: int):
+    """Adjoint of _prep_weight: (3, kin, 3*GC) -> (3, 3, Cin, GC); the
+    zero-pad rows C..X carry no gradient (they were constants)."""
+    if X != C:
+        dwp = jnp.concatenate([dwp[:, :C], dwp[:, X:]], axis=1)
+    return jnp.transpose(dwp.reshape(3, Cin, 3, GC), (0, 2, 1, 3))
+
+
+def _pallas_bwd(x, ws, bs, g):
+    """Adjoint of the spatial chain: returns (dx, dws, dbs).
+
+    x: (B[,T],H,W,C) primal input; g: cotangent of the (x1..x4) concat,
+    same leading dims with 4*GC channels."""
+    lead = x.shape[:-3]
+    H, W, C = x.shape[-3:]
+    BT = 1
+    for d in lead:
+        BT *= d
+    WT = W
+    Wp = _round_up(W, 16)
+    X = _round_up(C, GC)
+    TH = _pick_tile_h_bwd(H, Wp, X)
+    nt = H // TH
+
+    xr = x.reshape(BT, H, W, C)
+    gr = g.reshape(BT, H, W, 4 * GC)
+    if Wp != W:
+        xr = jnp.pad(xr, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+        gr = jnp.pad(gr, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+    xp = jnp.pad(xr, ((0, 0), (4, 4), (0, 0), (0, X - C)))
+    wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
+    bss = jnp.stack([b.astype(jnp.float32) for b in bs])
+
+    kernel = partial(
+        _chain_bwd_kernel, TH=TH, W=Wp, WT=WT, X=X, H=H, slope=0.2
+    )
+    f32 = jnp.float32
+    dxp, *dwp_db = pl.pallas_call(
+        kernel,
+        grid=(BT, nt),
+        out_shape=[
+            jax.ShapeDtypeStruct((BT, nt, TH + 8, Wp, X), f32),
+            *[jax.ShapeDtypeStruct((3, X + GC * k, 3 * GC), f32)
+              for k in range(4)],
+            jax.ShapeDtypeStruct((4, GC), f32),
+        ],
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(TH + 8), pl.Element(Wp),
+                 pl.Element(X)),
+                lambda bt, i: (bt, i * TH, 0, 0),
+            ),
+            *[
+                pl.BlockSpec((3, X + GC * k, 3 * GC), lambda bt, i: (0, 0, 0))
+                for k in range(4)
+            ],
+            pl.BlockSpec((4, GC), lambda bt, i: (0, 0)),
+            pl.BlockSpec((1, TH, Wp, 4 * GC), lambda bt, i: (bt, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TH + 8, Wp, X),
+                         lambda bt, i: (bt, i, 0, 0, 0)),
+            *[
+                pl.BlockSpec((3, X + GC * k, 3 * GC), lambda bt, i: (0, 0, 0))
+                for k in range(4)
+            ],
+            pl.BlockSpec((4, GC), lambda bt, i: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, Wp, X + 4 * GC), x.dtype),
+            pltpu.VMEM((TH + 8, Wp, X + 4 * GC), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *wps, bss, gr)
+
+    # overlap-add the per-tile halo windows (static, nt <= ~6)
+    dx_pad = jnp.zeros((BT, H + 8, Wp, X), f32)
+    for i in range(nt):
+        dx_pad = jax.lax.dynamic_update_slice(
+            dx_pad,
+            jax.lax.dynamic_slice(
+                dx_pad, (0, i * TH, 0, 0), (BT, TH + 8, Wp, X)
+            ) + dxp[:, i],
+            (0, i * TH, 0, 0),
+        )
+    dx = dx_pad[:, 4:H + 4, :WT, :C].astype(x.dtype).reshape(x.shape)
+
+    dws_p, db = dwp_db[:4], dwp_db[4]
+    dws = tuple(
+        _unprep_weight(dwp, C, X, ws[k].shape[2]).astype(ws[k].dtype)
+        for k, dwp in enumerate(dws_p)
+    )
+    dbs = tuple(db[k].astype(bs[k].dtype) for k in range(4))
+    return dx, dws, dbs
+
+
+def _pallas_feats(x, ws, bs):
+    """Spatial-only fused forward that handles arbitrary W (v2's pad-col
+    scheme): returns the (x1..x4) concat. Used by the fused backward of
+    the whole-chain (conv5) entry points, where the conv5/epilogue adjoint
+    needs the chain features."""
+    lead = x.shape[:-3]
+    H, W, C = x.shape[-3:]
+    BT = 1
+    for d in lead:
+        BT *= d
+    WT = W
+    Wp = _round_up(W, 16)
+    X = _round_up(C, GC)
+    TH = _pick_tile_h_bwd(H, Wp, X)
+
+    xr = x.reshape(BT, H, W, C)
+    if Wp != W:
+        xr = jnp.pad(xr, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+    xp = jnp.pad(xr, ((0, 0), (4, 4), (0, 0), (0, X - C)))
+    wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
+    bss = jnp.stack([b.astype(jnp.float32) for b in bs])
+
+    def kernel(x_ref, w1, w2, w3, w4, b_ref, o_ref, work):
+        _spatial_chain_into(
+            x_ref[0], (w1, w2, w3, w4), b_ref, work,
+            i_tile=pl.program_id(1), TH=TH, W=Wp, WT=WT, X=X, H=H,
+            slope=0.2,
+        )
+        o_ref[0] = work[4:TH + 4, :, X:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(BT, H // TH),
+        out_shape=jax.ShapeDtypeStruct((BT, H, Wp, 4 * GC), x.dtype),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(TH + 8), pl.Element(Wp),
+                 pl.Element(X)),
+                lambda bt, i: (bt, i * TH, 0, 0),
+            ),
+            *[
+                pl.BlockSpec((3, X + GC * k, 3 * GC), lambda bt, i: (0, 0, 0))
+                for k in range(4)
+            ],
+            pl.BlockSpec((4, GC), lambda bt, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, Wp, 4 * GC),
+                               lambda bt, i: (bt, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 8, Wp, X + 4 * GC), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *wps, bss)
+    if Wp != W:
+        out = out[:, :, :W]
+    return out.reshape(*lead, H, W, 4 * GC)

@@ -70,7 +70,7 @@ def test_custom_vjp_matches_xla_grads():
     g1 = jax.grad(loss_f, argnums=(0, 1, 2))(x, ws, bs)
     g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, ws, bs)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-3)
 
 
 def test_dense_chain_module_fused_equals_unfused():
@@ -151,7 +151,7 @@ def test_v2_custom_vjp_matches_xla_grads():
     g1 = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(x, ws, bs, w5, b5)
     g2 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, ws, bs, w5, b5)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-3)
 
 
 def test_v2_custom_vjp_padded_w_grads():
@@ -169,7 +169,7 @@ def test_v2_custom_vjp_padded_w_grads():
 
     np.testing.assert_allclose(float(loss_f(x)), float(loss_r(x)), rtol=1e-5)
     g1, g2 = jax.grad(loss_f)(x), jax.grad(loss_r)(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=2e-3)
 
 
 def test_v2_shape_gate():
@@ -324,7 +324,7 @@ def test_ep_grads_match_oracle():
         x, ws, bs, w5, b5, a, m
     )
     for u, v in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-5, atol=2e-3)
 
 
 def test_coupling_fused_matches_plain():
@@ -404,7 +404,7 @@ def test_hg_grads_match_oracle():
     ga = jax.grad(loss(fused_hg_pair), argnums=(0, 1, 2, 3))(x, x2, h, g)
     gb = jax.grad(loss(_xla_hg), argnums=(0, 1, 2, 3))(x, x2, h, g)
     for u, v in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
-        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-5, atol=2e-3)
 
 
 def test_hg_shape_gate():
@@ -489,7 +489,7 @@ def test_small_gc_grads_match_xla():
     for u, v in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         # grads must come back at TRUE gc shapes (pad slice adjoint)
         assert u.shape == v.shape
-        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-5, atol=2e-3)
 
 
 def test_codec_stp_chain_module_fused_equals_unfused():
@@ -504,3 +504,76 @@ def test_codec_stp_chain_module_fused_equals_unfused():
     os.environ["SELFC_TPU_PALLAS"] = "1"
     got = blk.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+# --- fused backward (_pallas_bwd) -------------------------------------------
+
+
+def _mk_chain_v2(rng, C, c_out):  # re-exported for clarity in this section
+    from tests.test_pallas_chain import _mk_chain  # noqa: F401
+    ws, bs = _mk_chain(rng, C)
+    w5 = jnp.asarray(rng.normal(0, 0.1, (3, C + 128, c_out)), jnp.float32)
+    b5 = jnp.asarray(rng.normal(0, 0.1, (c_out,)), jnp.float32)
+    return ws, bs, w5, b5
+
+
+def test_pallas_bwd_multi_tile_overlap_add(monkeypatch):
+    """Force 2 row tiles so dx assembles from overlapping halo windows."""
+    from selfc_tpu.ops.pallas_chain import _pallas_bwd, _xla_impl
+
+    monkeypatch.setenv("SELFC_TPU_TILE_H_BWD", "12")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 24, 36, 3)), jnp.float32)  # W%16!=0
+    ws, bs = _mk_chain(rng, 3)
+    g = jnp.asarray(rng.normal(0, 1, (2, 24, 36, 128)), jnp.float32)
+
+    dx, dws, dbs = _pallas_bwd(x, ws, bs, g)
+    _, vjp = jax.vjp(_xla_impl, x, ws, bs)
+    rdx, rdws, rdbs = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
+                               rtol=1e-5, atol=1e-4)
+    for a, b in zip(jax.tree.leaves((dws, dbs)),
+                    jax.tree.leaves((rdws, rdbs))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_bwd_bf16():
+    """bf16 activations: the fused adjoint must be no less accurate vs the
+    fp32 ground truth than the XLA bf16 vjp it replaces. (On-chip it is
+    4-16x MORE accurate: dwork accumulates in f32 while the XLA chain
+    adjoint rounds through bf16 at every conv hop.)"""
+    from selfc_tpu.ops.pallas_chain import _pallas_bwd, _xla_impl
+
+    rng = np.random.default_rng(6)
+    xf = jnp.asarray(rng.normal(0, 1, (1, 12, 16, 32)), jnp.float32)
+    ws, bs = _mk_chain(rng, 32)
+    gf = jnp.asarray(rng.normal(0, 1, (1, 12, 16, 128)), jnp.float32)
+    _, vjp = jax.vjp(_xla_impl, xf, ws, bs)
+    truth = vjp(gf)
+
+    bf = jnp.bfloat16
+    xb, gb = xf.astype(bf), gf.astype(bf)
+    wsb = tuple(w.astype(bf) for w in ws)
+    bsb = tuple(b.astype(bf) for b in bs)
+    got = _pallas_bwd(xb, wsb, bsb, gb)
+    _, vjpb = jax.vjp(_xla_impl, xb, wsb, bsb)
+    ref = vjpb(gb)
+    for a, b, t in zip(jax.tree.leaves(got), jax.tree.leaves(ref),
+                       jax.tree.leaves(truth)):
+        ea = np.abs(np.asarray(a, np.float32) - np.asarray(t)).max()
+        eb = np.abs(np.asarray(b, np.float32) - np.asarray(t)).max()
+        assert ea <= 2.0 * eb + 1e-3, (ea, eb)
+
+
+def test_pallas_feats_matches_xla():
+    from selfc_tpu.ops.pallas_chain import _pallas_feats, _xla_impl
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 12, 36, 3)), jnp.float32)
+    ws, bs = _mk_chain(rng, 3)
+    np.testing.assert_allclose(
+        np.asarray(_pallas_feats(x, ws, bs)),
+        np.asarray(_xla_impl(x, ws, bs)),
+        atol=2e-5,
+    )
