@@ -23,8 +23,35 @@ from ..ops.conv import (
     torch_default_w as _torch_default_w,
     zeros_init,
 )
-from ..ops.deform import deform_conv2d
+from ..ops.deform import deform_conv2d, deform_conv2d_windowed
 from ..ops.resize import adaptive_avg_pool2d
+
+
+def _deform_fn(radius):
+    """Exact bilinear-gather deform conv (radius None) or the TPU-fast
+    windowed formulation (ops/deform.py:deform_conv2d_windowed) with the
+    total tap displacement bounded by ``radius``. The gather version runs
+    at ~0.3 TF/s on v5e; the windowed one is ~19x faster at radius 3
+    (docs/PERF.md) and exactly equal while offsets stay in-window."""
+    if radius:
+        def fn(x, off, mod, w, b):
+            return deform_conv2d_windowed(x, off, mod, w, b, radius=radius)
+        return fn
+    return deform_conv2d
+
+
+def _scan_pair_sum(dconv, x_frame, offs, mods, w, b):
+    """sum_t deform(x_frame, offs[t], mods[t]) via lax.scan — one traced
+    body instead of T inlined deform convs (the reference's python loop,
+    SelfC_GMM_arch_inv.py:240-250, is a graph-size hazard at T^2 calls)."""
+    acc0 = jnp.zeros(x_frame.shape[:3] + (w.shape[-1],), x_frame.dtype)
+
+    def body(acc, om):
+        o, m = om
+        return acc + dconv(x_frame, o, m, w, b), None
+
+    acc, _ = jax.lax.scan(body, acc0, (offs, mods))
+    return acc
 
 
 class GlobalAgg(nn.Module):
@@ -65,9 +92,13 @@ class GlobalAgg(nn.Module):
 
 class DeformConvAgg(nn.Module):
     """Temporal aggregation via modulated deformable conv
-    (reference DeformConvAgg, SelfC_GMM_arch_inv.py:188-254)."""
+    (reference DeformConvAgg, SelfC_GMM_arch_inv.py:188-254).
+
+    ``deform_radius`` (config network_G.deform_radius) switches the
+    per-pixel gather to the windowed TPU formulation; None = exact."""
 
     c: int
+    deform_radius: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -101,16 +132,16 @@ class DeformConvAgg(nn.Module):
         modulator = modulator.reshape(B, H, W, T * T, K * K)
         # reference: out[t1] = sum_t2 deform(x[t1], offset_chunk(t1*T+t2))
         # (x_repeat repeats each frame T times; SelfC_GMM_arch_inv.py:240-250)
+        dconv = _deform_fn(self.deform_radius)
         agg = []
         for t1 in range(T):
-            acc = 0.0
-            for t2 in range(T):
-                p = t1 * T + t2
-                acc = acc + deform_conv2d(
-                    x[:, t1], offset[..., p, :], modulator[..., p, :],
-                    reg_w, reg_b,
-                )
-            agg.append(acc)
+            offs = jnp.moveaxis(
+                offset[..., t1 * T:(t1 + 1) * T, :], 3, 0
+            )  # (T,B,H,W,2KK)
+            mods = jnp.moveaxis(modulator[..., t1 * T:(t1 + 1) * T, :], 3, 0)
+            agg.append(
+                _scan_pair_sum(dconv, x[:, t1], offs, mods, reg_w, reg_b)
+            )
         agg = jnp.stack(agg, axis=1)
         return x + pointwise(agg, proj_w)
 
@@ -121,6 +152,7 @@ class GroupedGlobalDeformAgg(nn.Module):
 
     c: int
     groups: int = 4
+    deform_radius: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -163,16 +195,15 @@ class GroupedGlobalDeformAgg(nn.Module):
         modulator = 2.0 * jax.nn.sigmoid(conv2d(xf, mod_w, mod_b)).reshape(
             B, T, H, W, T, K * K
         )
+        dconv = _deform_fn(self.deform_radius)
         agg = []
         for t_out in range(T):
-            acc = 0.0
-            for t_in in range(T):
-                acc = acc + deform_conv2d(
-                    x_enh[:, t_out],  # reference repeats the *source* frame
-                    offset[:, t_out, :, :, t_in],
-                    modulator[:, t_out, :, :, t_in],
-                    reg_w, reg_b,
-                )
-            agg.append(acc)
+            # reference repeats the *source* frame across t_in
+            offs = jnp.moveaxis(offset[:, t_out], 3, 0)  # (T,B,H,W,2KK)
+            mods = jnp.moveaxis(modulator[:, t_out], 3, 0)
+            agg.append(
+                _scan_pair_sum(dconv, x_enh[:, t_out], offs, mods,
+                               reg_w, reg_b)
+            )
         agg = jnp.stack(agg, axis=1)
         return x_enh + agg

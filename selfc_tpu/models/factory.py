@@ -61,6 +61,7 @@ def define_G(opt):
             fh_loss=net["fh_loss"] or "gmm",
             gmm_k=net["gmm_k"] or 5,
             global_module=net["global_module"] or "nonlocal",
+            deform_radius=net["deform_radius"],
             nll_enabled=nll_enabled,
             remat=bool(net["remat"]),
             scan_blocks=bool(net["scan_blocks"]),
@@ -78,5 +79,6 @@ def define_G(opt):
             stp_hidden_c=net["stp_hidden_c"] or 24,
             stp_denseblock_innerc=net["stp_denseblock_innerc"] or 12,
             deart_net=bool(net["deart_net"]),
+            deform_radius=net["deform_radius"],
         )
     raise NotImplementedError(f"model type {model_type!r} not supported")

@@ -49,6 +49,9 @@ class SelfCNetGMM(nn.Module):
     fh_loss: str = "gmm"
     gmm_k: int = 5
     global_module: str = "nonlocal"
+    # None = exact gather deform_conv2d; int R = windowed TPU formulation
+    # (only read when global_module is deform/grouped_global_deform)
+    deform_radius: int | None = None
     # the snapshot disables the forward conditional NLL (reference :466-468);
     # set True to restore the paper's loss_c term.
     nll_enabled: bool = False
@@ -93,6 +96,7 @@ class SelfCNetGMM(nn.Module):
             fh_loss=self.fh_loss,
             gmm_k=self.gmm_k,
             global_module=self.global_module,
+            deform_radius=self.deform_radius,
         )
 
     def encode(self, x):
@@ -283,6 +287,7 @@ class SelfCNetCodec(nn.Module):
     stp_hidden_c: int = 24
     stp_denseblock_innerc: int = 12
     deart_net: bool = False
+    deform_radius: int | None = None
 
     @property
     def latent_channels(self) -> int:
@@ -306,11 +311,14 @@ class SelfCNetCodec(nn.Module):
             global_module=self.global_module,
             hidden_c=self.stp_hidden_c,
             gc=self.stp_denseblock_innerc,
+            deform_radius=self.deform_radius,
         )
         if self.deart_net:
             # reference :395-401: D2DT(3->32) -> GroupedGlobalDeformAgg -> D2DT(32->3)
             self.deart_0 = D2DT(3, 32, init_mode="plain_xavier")
-            self.deart_1 = GroupedGlobalDeformAgg(32)
+            self.deart_1 = GroupedGlobalDeformAgg(
+                32, deform_radius=self.deform_radius
+            )
             self.deart_2 = D2DT(32, 3, init_mode="plain_xavier")
 
     def encode(self, x):

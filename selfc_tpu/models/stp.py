@@ -26,13 +26,15 @@ from .agg import DeformConvAgg, GlobalAgg, GroupedGlobalDeformAgg
 from .blocks import D2DT, FeatureCollapse
 
 
-def _global_module(kind: str, c: int, name: str):
+def _global_module(kind: str, c: int, name: str, deform_radius=None):
     if kind == "nonlocal":
         return GlobalAgg(c, name=name)
     if kind == "deform":
-        return DeformConvAgg(c, name=name)
+        return DeformConvAgg(c, deform_radius=deform_radius, name=name)
     if kind == "grouped_global_deform":
-        return GroupedGlobalDeformAgg(c, name=name)
+        return GroupedGlobalDeformAgg(
+            c, deform_radius=deform_radius, name=name
+        )
     return None
 
 
@@ -67,6 +69,8 @@ class STPNet(nn.Module):
     global_module: str = "nonlocal"
     hidden_c: int = 64
     gc: int = 32
+    # None = exact gather deform; int R = windowed TPU formulation
+    deform_radius: int | None = None
 
     @property
     def hf_dim(self) -> int:
@@ -77,11 +81,12 @@ class STPNet(nn.Module):
         self.local_m1 = D2DT(3, c, gc, "plain_xavier")
         self.local_m2 = D2DT(c, c, gc, "plain_xavier")
         gm = self.global_module
-        self.global_m1 = _global_module(gm, c, None)
-        self.global_m2 = _global_module(gm, c, None)
+        dr = self.deform_radius
+        self.global_m1 = _global_module(gm, c, None, dr)
+        self.global_m2 = _global_module(gm, c, None, dr)
         for i in range(self.stp_blk_num - 2):
             setattr(self, f"other_local_{i}", D2DT(c, c, gc, "plain_xavier"))
-            setattr(self, f"other_global_{i}", _global_module(gm, c, None))
+            setattr(self, f"other_global_{i}", _global_module(gm, c, None, dr))
         if self.fh_loss == "l2":
             self.tail_0 = _PW(c, self.hf_dim)
         elif self.fh_loss == "gmm":

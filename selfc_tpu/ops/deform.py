@@ -63,3 +63,69 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
     if bias is not None:
         out = out + bias
     return out
+
+
+def _hat(t):
+    """Bilinear interpolation kernel: max(0, 1 - |t|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def deform_conv2d_windowed(x, offset, mask, weight, bias=None, radius=3):
+    """Gather-free ``deform_conv2d`` for TPU (bounded displacement).
+
+    The per-element gather (4 bilinear taps x 9 kernel positions) lowers
+    to XLA gather loops that run at ~0.3 TF/s on a v5e — ~45 ms per call
+    at the STP latent shape. This formulation instead clamps each tap's
+    TOTAL displacement (kernel offset + learned offset) to
+    ``[-radius, radius]`` and expands the bilinear sample as a dense sum
+    over the (2R+1)^2 integer shifts inside the window with hat-function
+    weights:
+
+        sampled_k(p) = sum_{|s|<=R} hat(dy_k - s_y) hat(dx_k - s_x)
+                                     * x(p + s)
+
+    Every shift is a static slice of one zero-padded copy of ``x``, so
+    the whole thing is VPU multiply-adds that XLA fuses — no gathers.
+    The 9 per-tap maps then contract against the conv weight in ONE MXU
+    dot (contraction length 9*C).
+
+    Exactly equal to ``deform_conv2d`` whenever all displacements satisfy
+    |i-1+dy| <= radius and |j-1+dx| <= radius (pinned by test); larger
+    learned offsets saturate at the window edge instead of following the
+    sample arbitrarily far. Gradients (including through the offsets via
+    the hat weights) match the bilinear gather's inside the window.
+    """
+    B, H, W, C = x.shape
+    K = weight.shape[0]
+    KK = K * K
+    R = int(radius)
+    S = 2 * R + 1
+    # one padded copy; every window shift is a static slice of it
+    xp = jnp.pad(x, ((0, 0), (R, R), (R, R), (0, 0)))
+    # clamped total displacement per tap, (B,H,W,KK) each
+    dys = []
+    dxs = []
+    for i in range(K):
+        for j in range(K):
+            k = i * K + j
+            dys.append(jnp.clip(offset[..., 2 * k] + (i - K // 2), -R, R))
+            dxs.append(jnp.clip(offset[..., 2 * k + 1] + (j - K // 2), -R, R))
+    dy = jnp.stack(dys, axis=-1)  # (B,H,W,KK)
+    dx = jnp.stack(dxs, axis=-1)
+    acc = [jnp.zeros((B, H, W, C), x.dtype) for _ in range(KK)]
+    for sy in range(-R, R + 1):
+        wy = _hat(dy - sy)  # (B,H,W,KK)
+        for sx in range(-R, R + 1):
+            w = wy * _hat(dx - sx) * mask  # (B,H,W,KK)
+            xs = xp[:, R + sy:R + sy + H, R + sx:R + sx + W, :]
+            w = w.astype(x.dtype)
+            for k in range(KK):
+                acc[k] = acc[k] + w[..., k:k + 1] * xs
+    stacked = jnp.stack(acc, axis=-2)  # (B,H,W,KK,C)
+    out = jnp.einsum(
+        "bhwkc,kcd->bhwd", stacked, weight.reshape(KK, C, -1),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -1550,7 +1550,10 @@ def _chain_bwd_kernel(x_ref, w1, w2, w3, w4, b_ref, g_ref,
 def _pick_tile_h_bwd(H: int, W: int, X: int) -> int | None:
     lanes = X + 4 * GC
     forced = os.environ.get("SELFC_TPU_TILE_H_BWD", "")
-    order = (int(forced),) if forced else (24, 16, 12, 8, 6, 4)
+    # 24 measured best at the flagship eval latent (H=144); 36/18 exist so
+    # that train-config latents (H=36) don't fall through to TH=12, whose
+    # (12+8)/12 halo recompute costs ~1.4x more dot FLOPs than TH=36.
+    order = (int(forced),) if forced else (24, 36, 18, 16, 12, 8, 6, 4)
     for th in order:
         if H % th != 0:
             continue

@@ -177,6 +177,57 @@ class TestDeformAgg:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_windowed_matches_exact_within_window(self):
+        """deform_conv2d_windowed (the gather-free TPU formulation) must
+        equal the bilinear-gather version — values AND offset gradients —
+        whenever every total displacement stays inside the window."""
+        from selfc_tpu.ops.deform import deform_conv2d, deform_conv2d_windowed
+
+        rng = np.random.default_rng(7)
+        B, H, W, C, Co = 2, 10, 9, 5, 4
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        # |offset| < 1.9 and kernel tap +-1 -> |displacement| < 2.9 <= R=3
+        off = jnp.asarray(rng.uniform(-1.9, 1.9, (B, H, W, 18)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, 9)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(Co), jnp.float32)
+
+        want = deform_conv2d(x, off, mask, w, b)
+        got = deform_conv2d_windowed(x, off, mask, w, b, radius=3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+        g_want = jax.grad(
+            lambda o: jnp.sum(deform_conv2d(x, o, mask, w, b) ** 2))(off)
+        g_got = jax.grad(
+            lambda o: jnp.sum(
+                deform_conv2d_windowed(x, o, mask, w, b, radius=3) ** 2))(off)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_deform_agg_windowed_matches_exact(self):
+        """DeformConvAgg with deform_radius set must reproduce the exact
+        module (same params, offsets perturbed away from zero-init)."""
+        from selfc_tpu.models.agg import DeformConvAgg
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.random((1, 3, 8, 8, 6)), jnp.float32)
+        m_exact = DeformConvAgg(6)
+        v = m_exact.init(jax.random.PRNGKey(0), x)
+        # zero-init offsets are trivially in-window; randomize them so the
+        # equality actually exercises the hat-window math
+        v = jax.tree_util.tree_map_with_path(
+            lambda kp, a: (
+                jnp.asarray(rng.uniform(-0.05, 0.05, a.shape), a.dtype)
+                if "offset" in str(kp) or "modulator" in str(kp) else a
+            ),
+            v,
+        )
+        want = m_exact.apply(v, x)
+        got = DeformConvAgg(6, deform_radius=3).apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_grouped_global_deform_agg_runs(self):
         from selfc_tpu.models.agg import GroupedGlobalDeformAgg
 
