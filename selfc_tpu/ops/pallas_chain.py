@@ -345,14 +345,20 @@ def ep_apply(y, mode, clamp, a=None, m=None):
 
 
 def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, *rest,
-                     TH, W, WT=None, X, H, T, slope, ep="none", clamp=1.0):
+                     TH, W, WT=None, X, H, T, slope, ep="none", clamp=1.0,
+                     emit_feats=False):
     n_aux = EP_AUX[ep]
     aux = rest[:n_aux]
-    o_ref, work, slots = rest[n_aux], rest[n_aux + 1], rest[n_aux + 2]
+    if emit_feats:
+        o_ref, f_ref = rest[n_aux], rest[n_aux + 1]
+        work, slots = rest[n_aux + 2], rest[n_aux + 3]
+    else:
+        o_ref, f_ref = rest[n_aux], None
+        work, slots = rest[n_aux + 1], rest[n_aux + 2]
     _chain_kernel_v2_body(
         x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux, o_ref,
         work, slots, TH=TH, W=W, WT=W if WT is None else WT, X=X, H=H, T=T,
-        slope=slope, ep=ep, clamp=clamp,
+        slope=slope, ep=ep, clamp=clamp, f_ref=f_ref,
     )
 
 
@@ -445,7 +451,7 @@ def _conv5_phase_dot(slots, w5_ref, b5_ref, phase, TH, W):
 
 def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
                           o_ref, work, slots, *, TH, W, WT, X, H, T, slope,
-                          ep, clamp):
+                          ep, clamp, f_ref=None):
     i_tile = pl.program_id(1)
     t = pl.program_id(2)
     f32 = jnp.float32
@@ -462,6 +468,11 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
             i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
         )
         _deposit_slot(slots, work, t, TH, Xp)
+        if f_ref is not None:
+            # save the spatial-chain features for the fused backward: the
+            # adjoint sweep then loads `work` instead of recomputing it
+            # (12 of its 36 MXU dots per chain)
+            f_ref[0, 0] = work[4:TH + 4, :, X:]
 
     @pl.when(t == T)
     def _zero_future_slot():
@@ -481,9 +492,13 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
         o_ref[0, 0] = y5.astype(o_ref.dtype)
 
 
-def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
+def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None,
+                    emit_feats=False):
     """x: (B,T,H,W,C); ws: 4 conv weights; w5: (3, C+4*GC, Cout).
-    Returns ep_apply(conv5(concat(x, x1..x4)), a, m): (B,T,H,W,Cout)."""
+    Returns ep_apply(conv5(concat(x, x1..x4)), a, m): (B,T,H,W,Cout).
+    With ``emit_feats`` also returns the spatial-chain features
+    (B,T,H,Wp,4*GC) at the kernel's PADDED width (consumed verbatim by
+    ``_pallas_bwd``'s saved-feats path)."""
     B, T, H, W, C = x.shape
     # width to a 16-column multiple (bf16 sublane tile): pad columns carry
     # zeros through the whole chain (the kernel re-zeroes them after each
@@ -509,7 +524,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
 
     kernel = partial(
         _chain_kernel_v2, TH=TH, W=W, WT=WT, X=X, H=H, T=T, slope=0.2,
-        ep=ep, clamp=clamp,
+        ep=ep, clamp=clamp, emit_feats=emit_feats,
     )
     aux_arrays = [v for v in (a, m)[:EP_AUX[ep]]]
     aux_specs = [
@@ -519,10 +534,22 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
         )
         for _ in aux_arrays
     ]
+    out_shape = jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype)
+    out_spec = pl.BlockSpec(
+        (1, 1, TH, W, c_out),
+        lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
+    )
+    if emit_feats:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, T, H, W, 4 * GC), x.dtype)]
+        out_spec = [out_spec, pl.BlockSpec(
+            (1, 1, TH, W, 4 * GC),
+            lambda b, i, t: (b, jnp.minimum(t, T - 1), i, 0, 0),
+        )]
     out = pl.pallas_call(
         kernel,
         grid=(B, H // TH, T + 1),
-        out_shape=jax.ShapeDtypeStruct((B, T, H, W, c_out), x.dtype),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(1), pl.Element(TH + 8),
@@ -540,10 +567,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
             pl.BlockSpec((1, c_out), lambda b, i, t: (0, 0)),
             *aux_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, TH, W, c_out),
-            lambda b, i, t: (b, jnp.maximum(t - 1, 0), i, 0, 0),
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((TH + 8, W, X + 4 * GC), x.dtype),
             pltpu.VMEM((TH, W, 3 * (X + 4 * GC)), x.dtype),
@@ -553,6 +577,11 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None):
         ),
         interpret=jax.default_backend() == "cpu",
     )(xp, *wps, bss, w5p, b5p, *[v.astype(x.dtype) for v in aux_arrays])
+    if emit_feats:
+        out, feats = out
+        if WT != W:
+            out = out[:, :, :, :WT, :]
+        return out, feats  # feats stay at the padded width Wp
     if WT != W:
         out = out[:, :, :, :WT, :]
     return out
@@ -884,8 +913,36 @@ def fused_dense_chain_t(x, ws, bs, w5, b5):
     )
 
 
+def save_feats_enabled() -> bool:
+    """Save the spatial-chain features from the forward kernel for the
+    fused adjoint (skips the backward's fwd recompute: 36 -> 24 MXU dots
+    per chain). Costs one extra (B,T,H,W,4*GC) bf16 HBM array per chain
+    over the backward's lifetime. SELFC_TPU_PALLAS_SAVE_FEATS=0 disables
+    (the adjoint then recomputes in-kernel as before)."""
+    flag = os.environ.get("SELFC_TPU_PALLAS_SAVE_FEATS", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return chain_fused_enabled()
+
+
+def _save_feats_active(x, w5) -> bool:
+    if not save_feats_enabled() or chain_v3_enabled():
+        return False
+    T, H, W, C = x.shape[1:]
+    return (
+        chain_bwd_enabled()
+        and chain_bwd_ok(H, W, C)
+        and chain_v2_shapes_ok(T, H, W, C, w5.shape[-1])
+    )
+
+
 def _fdc_fwd(x, ws, bs, w5, b5):
-    return _impl_best(x, ws, bs, w5, b5), (x, ws, bs, w5, b5)
+    if _save_feats_active(x, w5):
+        y, feats = _pallas_impl_v2(x, ws, bs, w5, b5, emit_feats=True)
+        return y, (x, ws, bs, w5, b5, feats)
+    return _impl_best(x, ws, bs, w5, b5), (x, ws, bs, w5, b5, None)
 
 
 def _conv5_head(x, feats, w5, b5):
@@ -901,12 +958,16 @@ def _conv5_head(x, feats, w5, b5):
 
 
 def _fdc_bwd(res, g):
-    x, ws, bs, w5, b5 = res
+    x, ws, bs, w5, b5, feats_p = res
     if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
-        feats = _pallas_feats(x, ws, bs)
+        if feats_p is None:
+            # no saved features: compute them ONCE (padded) and hand them
+            # to the adjoint kernel, which then skips its own recompute
+            feats_p = _pallas_feats(x, ws, bs, keep_pad=True)
+        feats = feats_p[..., :x.shape[-2], :]
         _, vjp5 = jax.vjp(_conv5_head, x, feats, w5, b5)
         dx_direct, dfeats, dw5, db5 = vjp5(g)
-        dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats)
+        dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats, feats=feats_p)
         return dx_direct + dx_chain, dws, dbs, dw5, db5
     _, vjp = jax.vjp(_xla_impl_v2, x, ws, bs, w5, b5)
     return vjp(g)
@@ -1394,12 +1455,23 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
         )
 
     def fwd(x, ws, bs, w5, b5, *aux):
-        return prim(x, ws, bs, w5, b5, *aux), (x, ws, bs, w5, b5, aux)
+        if _save_feats_active(x, w5) and not ride_ok(w5.shape[-1],
+                                                     x.shape[3]):
+            y, feats = _pallas_impl_v2(
+                x, ws, bs, w5, b5, ep=ep, clamp=clamp,
+                a=aux[0] if n_aux >= 1 else None,
+                m=aux[1] if n_aux >= 2 else None,
+                emit_feats=True,
+            )
+            return y, (x, ws, bs, w5, b5, aux, feats)
+        return prim(x, ws, bs, w5, b5, *aux), (x, ws, bs, w5, b5, aux, None)
 
     def bwd(res, g):
-        x, ws, bs, w5, b5, aux = res
+        x, ws, bs, w5, b5, aux, feats_p = res
         if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
-            feats = _pallas_feats(x, ws, bs)
+            if feats_p is None:
+                feats_p = _pallas_feats(x, ws, bs, keep_pad=True)
+            feats = feats_p[..., :x.shape[-2], :]
 
             def head(x, feats, w5, b5, *aux):
                 y = _conv5_head(x, feats, w5, b5)
@@ -1409,7 +1481,8 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
 
             _, vjp5 = jax.vjp(head, x, feats, w5, b5, *aux)
             dx_direct, dfeats, dw5, db5, *daux = vjp5(g)
-            dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats)
+            dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats,
+                                             feats=feats_p)
             return (dx_direct + dx_chain, dws, dbs, dw5, db5, *daux)
         _, vjp = jax.vjp(
             lambda x, ws, bs, w5, b5, *aux: _xla_impl_v2_ep(
@@ -1470,9 +1543,15 @@ def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
 # Pallas forward (`_pallas_feats`), so the unfused XLA chain never runs.
 
 
-def _chain_bwd_kernel(x_ref, w1, w2, w3, w4, b_ref, g_ref,
-                      dx_ref, dw1, dw2, dw3, dw4, db_ref, work, dwork,
-                      *, TH, W, WT, X, H, slope):
+def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False):
+    if saved:
+        f_ref, w1, w2, w3, w4, b_ref, g_ref = rest[:7]
+        outs = rest[7:]
+    else:
+        f_ref = None
+        w1, w2, w3, w4, b_ref, g_ref = rest[:6]
+        outs = rest[6:]
+    dx_ref, dw1, dw2, dw3, dw4, db_ref, work, dwork = outs
     bt = pl.program_id(0)
     i_tile = pl.program_id(1)
     f32 = jnp.float32
@@ -1485,11 +1564,18 @@ def _chain_bwd_kernel(x_ref, w1, w2, w3, w4, b_ref, g_ref,
             dwr[...] = jnp.zeros_like(dwr)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    # 1. forward recompute: work = [x | x1..x4] for this tile (+halos)
-    _spatial_chain_into(
-        x_ref[0], w_refs, b_ref, work,
-        i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
-    )
+    if saved:
+        # 1. work = [x | x1..x4] loaded from the forward's saved features
+        # (halo rows come from neighbor tiles' saves — globally exact, same
+        # values the recompute produces)
+        work[:, :, :X] = x_ref[0]
+        work[:, :, X:] = f_ref[0]
+    else:
+        # 1. forward recompute: work = [x | x1..x4] for this tile (+halos)
+        _spatial_chain_into(
+            x_ref[0], w_refs, b_ref, work,
+            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+        )
 
     # 2. seed dwork with the output cotangent on the central rows
     dwork[...] = jnp.zeros_like(dwork)
@@ -1563,6 +1649,7 @@ def _pick_tile_h_bwd(H: int, W: int, X: int) -> int | None:
             + (th + 6) * W * 96 * 4       # dpart f32
             + (4 * X + 6 * GC) * 3 * 96 * 4  # dW blocks f32
             + 2 * (th + 8) * W * X * 2    # x window (dbl buffered)
+            + 2 * (th + 8) * W * 4 * GC * 2  # saved-feats window (dbl buf)
             + 2 * th * W * 4 * GC * 2     # g window
             + 2 * (th + 8) * W * X * 4    # dx out block f32
         )
@@ -1596,11 +1683,15 @@ def _unprep_weight(dwp, C: int, X: int, Cin: int):
     return jnp.transpose(dwp.reshape(3, Cin, 3, GC), (0, 2, 1, 3))
 
 
-def _pallas_bwd(x, ws, bs, g):
+def _pallas_bwd(x, ws, bs, g, feats=None):
     """Adjoint of the spatial chain: returns (dx, dws, dbs).
 
     x: (B[,T],H,W,C) primal input; g: cotangent of the (x1..x4) concat,
-    same leading dims with 4*GC channels."""
+    same leading dims with 4*GC channels. ``feats``, when given, is the
+    forward kernel's saved (x1..x4) concat at the PADDED width Wp (from
+    ``_pallas_impl_v2(..., emit_feats=True)``): the kernel then loads the
+    work buffer instead of recomputing the spatial chain — 12 of 36 MXU
+    dots per chain saved."""
     lead = x.shape[:-3]
     H, W, C = x.shape[-3:]
     BT = 1
@@ -1620,9 +1711,22 @@ def _pallas_bwd(x, ws, bs, g):
     xp = jnp.pad(xr, ((0, 0), (4, 4), (0, 0), (0, X - C)))
     wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
     bss = jnp.stack([b.astype(jnp.float32) for b in bs])
+    saved = feats is not None
+    feats_args = ()
+    feats_specs = ()
+    if saved:
+        fr = feats.reshape(BT, H, Wp, 4 * GC)
+        fp = jnp.pad(fr, ((0, 0), (4, 4), (0, 0), (0, 0)))
+        feats_args = (fp,)
+        feats_specs = (pl.BlockSpec(
+            (pl.Element(1), pl.Element(TH + 8), pl.Element(Wp),
+             pl.Element(4 * GC)),
+            lambda bt, i: (bt, i * TH, 0, 0),
+        ),)
 
     kernel = partial(
-        _chain_bwd_kernel, TH=TH, W=Wp, WT=WT, X=X, H=H, slope=0.2
+        _chain_bwd_kernel, TH=TH, W=Wp, WT=WT, X=X, H=H, slope=0.2,
+        saved=saved,
     )
     f32 = jnp.float32
     dxp, *dwp_db = pl.pallas_call(
@@ -1640,6 +1744,7 @@ def _pallas_bwd(x, ws, bs, g):
                  pl.Element(X)),
                 lambda bt, i: (bt, i * TH, 0, 0),
             ),
+            *feats_specs,
             *[
                 pl.BlockSpec((3, X + GC * k, 3 * GC), lambda bt, i: (0, 0, 0))
                 for k in range(4)
@@ -1664,7 +1769,7 @@ def _pallas_bwd(x, ws, bs, g):
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(xp, *wps, bss, gr)
+    )(xp, *feats_args, *wps, bss, gr)
 
     # overlap-add the per-tile halo windows (static, nt <= ~6)
     dx_pad = jnp.zeros((BT, H + 8, Wp, X), f32)
@@ -1687,11 +1792,12 @@ def _pallas_bwd(x, ws, bs, g):
     return dx, dws, dbs
 
 
-def _pallas_feats(x, ws, bs):
+def _pallas_feats(x, ws, bs, keep_pad=False):
     """Spatial-only fused forward that handles arbitrary W (v2's pad-col
     scheme): returns the (x1..x4) concat. Used by the fused backward of
     the whole-chain (conv5) entry points, where the conv5/epilogue adjoint
-    needs the chain features."""
+    needs the chain features. ``keep_pad`` returns the kernel's padded
+    width Wp (what ``_pallas_bwd``'s saved-feats path consumes)."""
     lead = x.shape[:-3]
     H, W, C = x.shape[-3:]
     BT = 1
@@ -1743,6 +1849,8 @@ def _pallas_feats(x, ws, bs):
         ),
         interpret=jax.default_backend() == "cpu",
     )(xp, *wps, bss)
+    if keep_pad:
+        return out.reshape(*lead, H, Wp, 4 * GC)
     if Wp != W:
         out = out[:, :, :W]
     return out.reshape(*lead, H, W, 4 * GC)

@@ -172,6 +172,36 @@ def test_v2_custom_vjp_padded_w_grads():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=2e-3)
 
 
+def test_saved_feats_bwd_matches_recompute_bwd(monkeypatch):
+    """The saved-feats adjoint (forward kernel emits the chain features,
+    backward loads them) must produce the same gradients as the
+    recompute-in-kernel adjoint, on plain and epilogue chains."""
+    from selfc_tpu.ops.pallas_chain import fused_dense_chain_t_ep
+
+    rng = np.random.default_rng(9)
+    ws, bs, w5, b5 = _mk_chain_v2(rng, 3, 48)
+    # W=10 also exercises the padded-width feats hand-off (Wp=16)
+    x = jnp.asarray(rng.normal(0, 1, (1, 3, 12, 10, 3)), jnp.float32)
+    a = jnp.asarray(rng.normal(0, 1, (1, 3, 12, 10, 48)), jnp.float32)
+    m = jnp.asarray(rng.random((1, 3, 12, 10, 48)) + 0.5, jnp.float32)
+
+    def loss(x, ws, bs, w5, b5):
+        y = fused_dense_chain_t(x, ws, bs, w5, b5)
+        z = fused_dense_chain_t_ep(x, ws, bs, w5, b5, "mul_add", 1.0, a, m)
+        return jnp.sum(y ** 2) + jnp.sum(z ** 2)
+
+    def grads():
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, ws, bs, w5, b5)
+
+    monkeypatch.setenv("SELFC_TPU_PALLAS_SAVE_FEATS", "1")
+    g_saved = grads()
+    monkeypatch.setenv("SELFC_TPU_PALLAS_SAVE_FEATS", "0")
+    g_rec = grads()
+    for u, v in zip(jax.tree.leaves(g_saved), jax.tree.leaves(g_rec)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_v2_shape_gate():
     assert chain_v2_shapes_ok(7, 144, 176, 51, 48)
     assert not chain_v2_shapes_ok(7, 145, 176, 51, 48)  # no usable tile
