@@ -346,7 +346,7 @@ def ep_apply(y, mode, clamp, a=None, m=None):
 
 def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, *rest,
                      TH, W, WT=None, X, H, T, slope, ep="none", clamp=1.0,
-                     emit_feats=False):
+                     emit_feats=False, WS=None):
     n_aux = EP_AUX[ep]
     aux = rest[:n_aux]
     if emit_feats:
@@ -358,20 +358,27 @@ def _chain_kernel_v2(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, *rest,
     _chain_kernel_v2_body(
         x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux, o_ref,
         work, slots, TH=TH, W=W, WT=W if WT is None else WT, X=X, H=H, T=T,
-        slope=slope, ep=ep, clamp=clamp, f_ref=f_ref,
+        slope=slope, ep=ep, clamp=clamp, f_ref=f_ref, WS=WS,
     )
 
 
 def _spatial_chain_into(x_block, w_refs, b_ref, work, *, i_tile, TH, W, WT,
-                        X, H, slope):
+                        X, H, slope, WS=None):
     """Fill `work` with [x | x1..x4] for one (frame, row-tile) window.
 
     Column handling: the work buffer is exactly W wide (W % 16 == 0 by
     the shape gate) — the dx taps at the image edges are resolved by
     CLIPPED adds in the assembly below instead of zero-padded columns.
     That removes the old round-up-to-192 column pad from every MXU dot
-    (~8% of dot rows at the flagship W=176)."""
+    (~8% of dot rows at the flagship W=176).
+
+    ``WS`` (stripe width) supports batch-packing along W: the buffer may
+    hold P independent images side by side in WS-column stripes; the
+    dx-tap edge masks then fire at every stripe boundary (ww % WS), so
+    each stripe behaves exactly like a separate SAME-padded image."""
     f32 = jnp.float32
+    if WS is None:
+        WS = W
     work[:, :, :X] = x_block
     for i in range(1, 5):
         kin = X + GC * (i - 1)
@@ -395,10 +402,11 @@ def _spatial_chain_into(x_block, w_refs, b_ref, work, *, i_tile, TH, W, WT,
         # on zero padding in the old scheme -> rolled + masked here
         # (tpu.rotate on the sublane dim; the wrapped column is zeroed)
         ww = jax.lax.broadcasted_iota(jnp.int32, (r_out, W, 1), 1)
+        ws_col = ww % WS if WS < W else ww
         a0 = pltpu.roll(part[:, :, 0:GC], 1, 1)
-        a0 = jnp.where(ww >= 1, a0, 0.0)
+        a0 = jnp.where(ws_col >= 1, a0, 0.0)
         a2 = pltpu.roll(part[:, :, 2 * GC:3 * GC], W - 1, 1)
-        a2 = jnp.where(ww <= W - 2, a2, 0.0)
+        a2 = jnp.where(ws_col <= WS - 2, a2, 0.0)
         acc = a0 + part[:, :, GC:2 * GC] + a2
         acc = acc + b_ref[i - 1].astype(f32)
         acc = jnp.where(acc >= 0, acc, slope * acc)
@@ -451,7 +459,7 @@ def _conv5_phase_dot(slots, w5_ref, b5_ref, phase, TH, W):
 
 def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
                           o_ref, work, slots, *, TH, W, WT, X, H, T, slope,
-                          ep, clamp, f_ref=None):
+                          ep, clamp, f_ref=None, WS=None):
     i_tile = pl.program_id(1)
     t = pl.program_id(2)
     f32 = jnp.float32
@@ -465,7 +473,7 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
     def _compute():
         _spatial_chain_into(
             x_ref[0, 0], (w1, w2, w3, w4), b_ref, work,
-            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope, WS=WS,
         )
         _deposit_slot(slots, work, t, TH, Xp)
         if f_ref is not None:
@@ -493,7 +501,7 @@ def _chain_kernel_v2_body(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, aux,
 
 
 def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None,
-                    emit_feats=False):
+                    emit_feats=False, stripe_w=None):
     """x: (B,T,H,W,C); ws: 4 conv weights; w5: (3, C+4*GC, Cout).
     Returns ep_apply(conv5(concat(x, x1..x4)), a, m): (B,T,H,W,Cout).
     With ``emit_feats`` also returns the spatial-chain features
@@ -524,7 +532,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None,
 
     kernel = partial(
         _chain_kernel_v2, TH=TH, W=W, WT=WT, X=X, H=H, T=T, slope=0.2,
-        ep=ep, clamp=clamp, emit_feats=emit_feats,
+        ep=ep, clamp=clamp, emit_feats=emit_feats, WS=stripe_w,
     )
     aux_arrays = [v for v in (a, m)[:EP_AUX[ep]]]
     aux_specs = [
@@ -849,6 +857,11 @@ def _impl_best(x, ws, bs, w5, b5):
         return _pallas_impl_v3(x, ws, bs, w5, b5)
     if ride_ok(w5.shape[-1], W):
         return _pallas_impl_v2r(x, ws, bs, w5, b5)
+    P = _pick_pack_w(B, W) if pack_w_enabled() else 1
+    if P > 1:
+        return _unpack_w(
+            _pallas_impl_v2(_pack_w(x, P), ws, bs, w5, b5, stripe_w=W), P
+        )
     return _pallas_impl_v2(x, ws, bs, w5, b5)
 
 
@@ -861,6 +874,42 @@ def _xla_impl_v2(x, ws, bs, w5, b5):
     return (temporal_conv3(x, w5[:, :C].astype(x.dtype), None)
             + temporal_conv3(feats, w5[:, C:].astype(x.dtype),
                              b5.astype(x.dtype)))
+
+
+def pack_w_enabled() -> bool:
+    """Batch-packing along W for small-W (training) latents; the kernel's
+    stripe masks keep each packed image independent. =0 disables."""
+    return os.environ.get("SELFC_TPU_PALLAS_PACK_W", "") != "0"
+
+
+def _pick_pack_w(B: int, W: int) -> int:
+    """Images laid side by side per kernel row. A 36-col train latent pads
+    to 48 (25% dead columns in every MXU dot M-dim) and runs B*T tiny grid
+    steps; packing 4 images makes W=144 (no pad), 4x fewer grid steps, and
+    bigger dots — measured 1.6x per-pixel on v5e. Only exact 16-multiples
+    qualify so the stripe masks never interact with pad-column masks."""
+    if W % 16 == 0 and W >= 96:
+        return 1
+    for P in (8, 4, 2):
+        if B % P == 0 and P * W <= 192 and P * W >= 64 and (P * W) % 16 == 0:
+            return P
+    return 1
+
+
+def _pack_w(x, P):
+    """(B,T,H,W,C) -> (B/P,T,H,P*W,C): batch entry b*P+p becomes stripe p."""
+    B, T, H, W, C = x.shape
+    return (x.reshape(B // P, P, T, H, W, C)
+            .transpose(0, 2, 3, 1, 4, 5)
+            .reshape(B // P, T, H, P * W, C))
+
+
+def _unpack_w(y, P):
+    Bp, T, H, PW, C = y.shape
+    W = PW // P
+    return (y.reshape(Bp, T, H, P, W, C)
+            .transpose(0, 3, 1, 2, 4, 5)
+            .reshape(Bp * P, T, H, W, C))
 
 
 @jax.custom_vjp
@@ -940,6 +989,14 @@ def _save_feats_active(x, w5) -> bool:
 
 def _fdc_fwd(x, ws, bs, w5, b5):
     if _save_feats_active(x, w5):
+        P = (_pick_pack_w(x.shape[0], x.shape[3])
+             if pack_w_enabled() else 1)
+        if P > 1:
+            y, feats = _pallas_impl_v2(
+                _pack_w(x, P), ws, bs, w5, b5, emit_feats=True,
+                stripe_w=x.shape[3],
+            )
+            return _unpack_w(y, P), (x, ws, bs, w5, b5, feats)
         y, feats = _pallas_impl_v2(x, ws, bs, w5, b5, emit_feats=True)
         return y, (x, ws, bs, w5, b5, feats)
     return _impl_best(x, ws, bs, w5, b5), (x, ws, bs, w5, b5, None)
@@ -960,15 +1017,28 @@ def _conv5_head(x, feats, w5, b5):
 def _fdc_bwd(res, g):
     x, ws, bs, w5, b5, feats_p = res
     if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
+        if feats_p is not None:
+            P = x.shape[0] // feats_p.shape[0]
+        else:
+            P = (_pick_pack_w(x.shape[0], x.shape[3])
+                 if pack_w_enabled() else 1)
+        WS = x.shape[3]
+        xw = _pack_w(x, P) if P > 1 else x
+        gw = _pack_w(g, P) if P > 1 else g
         if feats_p is None:
             # no saved features: compute them ONCE (padded) and hand them
             # to the adjoint kernel, which then skips its own recompute
-            feats_p = _pallas_feats(x, ws, bs, keep_pad=True)
-        feats = feats_p[..., :x.shape[-2], :]
-        _, vjp5 = jax.vjp(_conv5_head, x, feats, w5, b5)
-        dx_direct, dfeats, dw5, db5 = vjp5(g)
-        dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats, feats=feats_p)
-        return dx_direct + dx_chain, dws, dbs, dw5, db5
+            feats_p = _pallas_feats(xw, ws, bs, keep_pad=True,
+                                    stripe_w=WS if P > 1 else None)
+        feats = feats_p[..., :xw.shape[-2], :]
+        _, vjp5 = jax.vjp(_conv5_head, xw, feats, w5, b5)
+        dx_direct, dfeats, dw5, db5 = vjp5(gw)
+        dx_chain, dws, dbs = _pallas_bwd(
+            xw, ws, bs, dfeats, feats=feats_p,
+            stripe_w=WS if P > 1 else None,
+        )
+        dx = dx_direct + dx_chain
+        return (_unpack_w(dx, P) if P > 1 else dx), dws, dbs, dw5, db5
     _, vjp = jax.vjp(_xla_impl_v2, x, ws, bs, w5, b5)
     return vjp(g)
 
@@ -1446,9 +1516,24 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
     XLA formulation (rematerialization, as the base kernel does)."""
 
     def prim(x, ws, bs, w5, b5, *aux):
-        impl = (_pallas_impl_v2r if ride_ok(w5.shape[-1], x.shape[3])
-                else _pallas_impl_v2)
-        return impl(
+        if ride_ok(w5.shape[-1], x.shape[3]):
+            return _pallas_impl_v2r(
+                x, ws, bs, w5, b5, ep=ep, clamp=clamp,
+                a=aux[0] if n_aux >= 1 else None,
+                m=aux[1] if n_aux >= 2 else None,
+            )
+        P = (_pick_pack_w(x.shape[0], x.shape[3])
+             if pack_w_enabled() else 1)
+        if P > 1:
+            WS = x.shape[3]
+            y = _pallas_impl_v2(
+                _pack_w(x, P), ws, bs, w5, b5, ep=ep, clamp=clamp,
+                a=_pack_w(aux[0], P) if n_aux >= 1 else None,
+                m=_pack_w(aux[1], P) if n_aux >= 2 else None,
+                stripe_w=WS,
+            )
+            return _unpack_w(y, P)
+        return _pallas_impl_v2(
             x, ws, bs, w5, b5, ep=ep, clamp=clamp,
             a=aux[0] if n_aux >= 1 else None,
             m=aux[1] if n_aux >= 2 else None,
@@ -1457,6 +1542,16 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
     def fwd(x, ws, bs, w5, b5, *aux):
         if _save_feats_active(x, w5) and not ride_ok(w5.shape[-1],
                                                      x.shape[3]):
+            P = (_pick_pack_w(x.shape[0], x.shape[3])
+                 if pack_w_enabled() else 1)
+            if P > 1:
+                y, feats = _pallas_impl_v2(
+                    _pack_w(x, P), ws, bs, w5, b5, ep=ep, clamp=clamp,
+                    a=_pack_w(aux[0], P) if n_aux >= 1 else None,
+                    m=_pack_w(aux[1], P) if n_aux >= 2 else None,
+                    emit_feats=True, stripe_w=x.shape[3],
+                )
+                return _unpack_w(y, P), (x, ws, bs, w5, b5, aux, feats)
             y, feats = _pallas_impl_v2(
                 x, ws, bs, w5, b5, ep=ep, clamp=clamp,
                 a=aux[0] if n_aux >= 1 else None,
@@ -1469,9 +1564,19 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
     def bwd(res, g):
         x, ws, bs, w5, b5, aux, feats_p = res
         if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
+            if feats_p is not None:
+                P = x.shape[0] // feats_p.shape[0]
+            else:
+                P = (_pick_pack_w(x.shape[0], x.shape[3])
+                     if pack_w_enabled() else 1)
+            WS = x.shape[3]
+            xw = _pack_w(x, P) if P > 1 else x
+            gw = _pack_w(g, P) if P > 1 else g
+            auxw = tuple(_pack_w(v, P) for v in aux) if P > 1 else aux
             if feats_p is None:
-                feats_p = _pallas_feats(x, ws, bs, keep_pad=True)
-            feats = feats_p[..., :x.shape[-2], :]
+                feats_p = _pallas_feats(xw, ws, bs, keep_pad=True,
+                                        stripe_w=WS if P > 1 else None)
+            feats = feats_p[..., :xw.shape[-2], :]
 
             def head(x, feats, w5, b5, *aux):
                 y = _conv5_head(x, feats, w5, b5)
@@ -1479,11 +1584,17 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
                 m = aux[1] if len(aux) >= 2 else None
                 return ep_apply(y, ep, clamp, a, m)
 
-            _, vjp5 = jax.vjp(head, x, feats, w5, b5, *aux)
-            dx_direct, dfeats, dw5, db5, *daux = vjp5(g)
-            dx_chain, dws, dbs = _pallas_bwd(x, ws, bs, dfeats,
-                                             feats=feats_p)
-            return (dx_direct + dx_chain, dws, dbs, dw5, db5, *daux)
+            _, vjp5 = jax.vjp(head, xw, feats, w5, b5, *auxw)
+            dx_direct, dfeats, dw5, db5, *daux = vjp5(gw)
+            dx_chain, dws, dbs = _pallas_bwd(
+                xw, ws, bs, dfeats, feats=feats_p,
+                stripe_w=WS if P > 1 else None,
+            )
+            dx = dx_direct + dx_chain
+            if P > 1:
+                dx = _unpack_w(dx, P)
+                daux = [_unpack_w(v, P) for v in daux]
+            return (dx, dws, dbs, dw5, db5, *daux)
         _, vjp = jax.vjp(
             lambda x, ws, bs, w5, b5, *aux: _xla_impl_v2_ep(
                 ep, clamp, x, ws, bs, w5, b5, *aux
@@ -1543,7 +1654,8 @@ def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
 # Pallas forward (`_pallas_feats`), so the unfused XLA chain never runs.
 
 
-def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False):
+def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False,
+                      WS=None):
     if saved:
         f_ref, w1, w2, w3, w4, b_ref, g_ref = rest[:7]
         outs = rest[7:]
@@ -1574,7 +1686,7 @@ def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False):
         # 1. forward recompute: work = [x | x1..x4] for this tile (+halos)
         _spatial_chain_into(
             x_ref[0], w_refs, b_ref, work,
-            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope,
+            i_tile=i_tile, TH=TH, W=W, WT=WT, X=X, H=H, slope=slope, WS=WS,
         )
 
     # 2. seed dwork with the output cotangent on the central rows
@@ -1582,7 +1694,10 @@ def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False):
     dwork[4:TH + 4, :, X:] = g_ref[0].astype(f32)
 
     # 3. reverse sweep
+    if WS is None:
+        WS = W
     ww_full = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    ws_col = ww_full % WS if WS < W else ww_full
     for k in (4, 3, 2, 1):
         kin = X + GC * (k - 1)
         ri0 = k - 1
@@ -1606,8 +1721,9 @@ def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False):
             dacc, axis=(0, 1)
         ).reshape(1, GC)
         # adjoint of the rolled edge adds: rebuild the dx-packed dpart
-        dp0 = pltpu.roll(jnp.where(ww_full >= 1, dacc, 0.0), W - 1, 1)
-        dp2 = pltpu.roll(jnp.where(ww_full <= W - 2, dacc, 0.0), 1, 1)
+        # (stripe-aware: the forward masked the dx taps at stripe edges)
+        dp0 = pltpu.roll(jnp.where(ws_col >= 1, dacc, 0.0), W - 1, 1)
+        dp2 = pltpu.roll(jnp.where(ws_col <= WS - 2, dacc, 0.0), 1, 1)
         dpart = jnp.concatenate([dp0, dacc, dp2], axis=-1)
         dpart_c = dpart.astype(work.dtype).reshape(r_out * W, 3 * GC)
         for dy in range(3):
@@ -1683,7 +1799,7 @@ def _unprep_weight(dwp, C: int, X: int, Cin: int):
     return jnp.transpose(dwp.reshape(3, Cin, 3, GC), (0, 2, 1, 3))
 
 
-def _pallas_bwd(x, ws, bs, g, feats=None):
+def _pallas_bwd(x, ws, bs, g, feats=None, stripe_w=None):
     """Adjoint of the spatial chain: returns (dx, dws, dbs).
 
     x: (B[,T],H,W,C) primal input; g: cotangent of the (x1..x4) concat,
@@ -1726,7 +1842,7 @@ def _pallas_bwd(x, ws, bs, g, feats=None):
 
     kernel = partial(
         _chain_bwd_kernel, TH=TH, W=Wp, WT=WT, X=X, H=H, slope=0.2,
-        saved=saved,
+        saved=saved, WS=stripe_w,
     )
     f32 = jnp.float32
     dxp, *dwp_db = pl.pallas_call(
@@ -1792,7 +1908,7 @@ def _pallas_bwd(x, ws, bs, g, feats=None):
     return dx, dws, dbs
 
 
-def _pallas_feats(x, ws, bs, keep_pad=False):
+def _pallas_feats(x, ws, bs, keep_pad=False, stripe_w=None):
     """Spatial-only fused forward that handles arbitrary W (v2's pad-col
     scheme): returns the (x1..x4) concat. Used by the fused backward of
     the whole-chain (conv5) entry points, where the conv5/epilogue adjoint
@@ -1819,7 +1935,7 @@ def _pallas_feats(x, ws, bs, keep_pad=False):
         _spatial_chain_into(
             x_ref[0], (w1, w2, w3, w4), b_ref, work,
             i_tile=pl.program_id(1), TH=TH, W=Wp, WT=WT, X=X, H=H,
-            slope=0.2,
+            slope=0.2, WS=stripe_w,
         )
         o_ref[0] = work[4:TH + 4, :, X:]
 

@@ -172,6 +172,49 @@ def test_v2_custom_vjp_padded_w_grads():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=2e-3)
 
 
+def test_w_packing_matches_unpacked(monkeypatch):
+    """Batch-packing along W (train-shape latents, W=36 -> 4 stripes of
+    144 cols) must be invisible: forward and every gradient equal the
+    unpacked kernel and the XLA oracle."""
+    from selfc_tpu.ops.pallas_chain import (
+        _pick_pack_w,
+        fused_dense_chain_t_ep,
+    )
+
+    rng = np.random.default_rng(11)
+    ws, bs, w5, b5 = _mk_chain_v2(rng, 3, 48)
+    B, T, H, W = 4, 2, 12, 36
+    assert _pick_pack_w(B, W) == 4
+    x = jnp.asarray(rng.normal(0, 0.5, (B, T, H, W, 3)), jnp.float32)
+    a = jnp.asarray(rng.normal(0, 0.5, (B, T, H, W, 48)), jnp.float32)
+    m = jnp.asarray(rng.random((B, T, H, W, 48)) + 0.5, jnp.float32)
+
+    def loss(fn_chain, x, a, m):
+        y = fn_chain(x)
+        z = fused_dense_chain_t_ep(x, ws, bs, w5, b5, "mul_add", 1.0, a, m)
+        return jnp.sum(y ** 2) + jnp.sum(z ** 2)
+
+    def run():
+        f = lambda x: fused_dense_chain_t(x, ws, bs, w5, b5)  # noqa: E731
+        y = f(x)
+        g = jax.grad(loss, argnums=(1, 2, 3))(f, x, a, m)
+        return y, g
+
+    monkeypatch.setenv("SELFC_TPU_PALLAS_PACK_W", "1")
+    y_p, g_p = run()
+    monkeypatch.setenv("SELFC_TPU_PALLAS_PACK_W", "0")
+    y_u, g_u = run()
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_u),
+                               rtol=1e-5, atol=1e-5)
+    for u, v in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-5, atol=1e-4)
+    # and vs the pure-XLA chain
+    y_x = _xla_impl_v2(x, ws, bs, w5, b5)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-4, atol=2e-4)
+
+
 def test_saved_feats_bwd_matches_recompute_bwd(monkeypatch):
     """The saved-feats adjoint (forward kernel emits the chain features,
     backward loads them) must produce the same gradients as the
