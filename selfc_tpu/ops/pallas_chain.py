@@ -51,6 +51,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def ep_in_input_dtype() -> bool:
+    """EXPERIMENT (default off, `SELFC_TPU_PALLAS_EP_IN_DT=1` enables):
+    run the dx-combine + bias + LeakyReLU epilogue in the INPUT dtype
+    (bf16 at runtime) instead of fp32; the dy dots still accumulate fp32.
+    Measured a WASH on v5e (H/G 1.12 vs 1.02 ms, STP 1.25 vs 1.29): the
+    VPU computes bf16 elementwise ops at f32 rate (unpack/repack), so
+    halving the nominal traffic buys nothing and the extra casts cost.
+    Also note the v5e VPU lacks bf16 compare/select and sublane rotates —
+    the bf16 branch uses max(x, s*x) LeakyReLU and multiply-masks."""
+    return os.environ.get("SELFC_TPU_PALLAS_EP_IN_DT", "") == "1"
+
+
 def chain_fused_enabled() -> bool:
     """Fused chain is ON by default on TPU; SELFC_TPU_PALLAS=0 disables,
     =1 forces (interpret mode off-TPU, used by tests)."""
@@ -407,9 +419,16 @@ def _spatial_chain_into(x_block, w_refs, b_ref, work, *, i_tile, TH, W, WT,
         a0 = jnp.where(ws_col >= 1, a0, 0.0)
         a2 = pltpu.roll(part[:, :, 2 * GC:3 * GC], W - 1, 1)
         a2 = jnp.where(ws_col <= WS - 2, a2, 0.0)
-        acc = a0 + part[:, :, GC:2 * GC] + a2
-        acc = acc + b_ref[i - 1].astype(f32)
-        acc = jnp.where(acc >= 0, acc, slope * acc)
+        a1 = part[:, :, GC:2 * GC]
+        ep_in_dt = ep_in_input_dtype() and work.dtype != f32
+        if ep_in_dt:
+            # round the per-dx fp32 partials once to the input dtype; the
+            # remaining adds + bias + LeakyReLU + row-mask then run at
+            # half the VPU/VMEM traffic (bf16). Rolls/edge-masks stay fp32
+            # (Mosaic has no bf16 sublane rotate).
+            a0, a1, a2 = (v.astype(work.dtype) for v in (a0, a1, a2))
+        acc = a0 + a1 + a2
+        acc = acc + b_ref[i - 1].astype(acc.dtype)
         h0 = i_tile * TH + i - 4
         rr = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1, 1), 0) + h0
         ok = (rr >= 0) & (rr < H)
@@ -418,7 +437,14 @@ def _spatial_chain_into(x_block, w_refs, b_ref, work, *, i_tile, TH, W, WT,
             # nonzero) so the next conv's dx=+1 tap at col WT-1
             # reads true zeros ('same' zero-pad semantics)
             ok = ok & (ww < WT)
-        acc = jnp.where(ok, acc, 0.0)
+        if ep_in_dt:
+            # the VPU has no bf16 compare/select: LeakyReLU as max(x, s*x)
+            # (identical for s < 1) and the row-mask as a multiply
+            acc = jnp.maximum(acc, slope * acc)
+            acc = acc * ok.astype(acc.dtype)
+        else:
+            acc = jnp.where(acc >= 0, acc, slope * acc)
+            acc = jnp.where(ok, acc, 0.0)
         work[ro0:ro1, :, X + GC * (i - 1):X + GC * i] = (
             acc.astype(work.dtype)
         )

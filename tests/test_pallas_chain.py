@@ -215,6 +215,30 @@ def test_w_packing_matches_unpacked(monkeypatch):
                                rtol=1e-4, atol=2e-4)
 
 
+def test_ep_in_input_dtype_bf16(monkeypatch):
+    """Opt-in bf16 epilogue (SELFC_TPU_PALLAS_EP_IN_DT=1): per-dx partials
+    round to bf16 before the combine; must stay within bf16 rounding of
+    the XLA bf16 oracle (one extra rounding per dx tap)."""
+    from selfc_tpu.ops.pallas_chain import _pallas_impl_v2
+
+    rng = np.random.default_rng(13)
+    ws, bs, w5, b5 = _mk_chain_v2(rng, 3, 48)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 2, 12, 32, 3)), jnp.float32)
+    bf = jnp.bfloat16
+    xb = x.astype(bf)
+    wsb = tuple(w.astype(bf) for w in ws)
+    w5b = w5.astype(bf)
+
+    monkeypatch.setenv("SELFC_TPU_PALLAS_EP_IN_DT", "1")
+    got = _pallas_impl_v2(xb, wsb, bs, w5b, b5)
+    monkeypatch.setenv("SELFC_TPU_PALLAS_EP_IN_DT", "0")
+    ref = _pallas_impl_v2(xb, wsb, bs, w5b, b5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
 def test_saved_feats_bwd_matches_recompute_bwd(monkeypatch):
     """The saved-feats adjoint (forward kernel emits the chain features,
     backward loads them) must produce the same gradients as the
