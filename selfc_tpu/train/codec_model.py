@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import random
+import time
 from collections import OrderedDict
 
 import jax
@@ -365,9 +366,13 @@ class CodecModel:
         lf, lr_q, consts = fwd_jit(self.params, self.real_H)
         img_bpp = 0.0
         if self.noise_type == "h265":
+            t_host = time.perf_counter()
             codec_np, img_bpp = h265_host_roundtrip(
                 np.asarray(lr_q), q, self._h265_keyint, self.scale
             )
+            # host-codec share of the step (includes the device->host sync
+            # of lr_q); read by tools/bench_train_codec.py
+            self.last_codec_host_seconds = time.perf_counter() - t_host
             codec_out = jnp.asarray(codec_np)
         else:
             codec_out = jnp.zeros_like(lr_q)
