@@ -15,6 +15,7 @@ import math
 import os
 import random
 import signal
+import time
 
 import numpy as np
 
@@ -138,10 +139,16 @@ def main():
         signal.signal(signal.SIGTERM, _graceful)
         signal.signal(signal.SIGINT, _graceful)
 
+    # wall-time split: loader wait vs feed+step (EMA; shows whether the
+    # host pipeline or the device bounds throughput)
+    ema_data, ema_step, ema, n_timed = 0.0, 0.0, 0.98, 0
+    t_mark = time.perf_counter()
+
     for epoch in range(model.start_epoch, total_epochs + 1):
         if opt["dist"] and train_loader.sampler is not None:
             train_loader.sampler.set_epoch(epoch)
         for train_data in train_loader:
+            t_have_data = time.perf_counter()
             current_step += 1
             if current_step > total_iters:
                 break
@@ -152,9 +159,16 @@ def main():
                 return
             model.feed_data(train_data)
             model.optimize_parameters(current_step)
+            t_done = time.perf_counter()
+            ema_data = ema * ema_data + (1 - ema) * (t_have_data - t_mark)
+            ema_step = ema * ema_step + (1 - ema) * (t_done - t_have_data)
+            t_mark = t_done
+            n_timed += 1
 
             if current_step % (opt["logger"]["print_freq"] or 100) == 0:
                 logs = model.get_current_log()
+                logs["data_s"] = ema_data / (1 - ema ** n_timed)
+                logs["step_s"] = ema_step / (1 - ema ** n_timed)
                 msg = "<epoch:{:3d}, iter:{:8,d}, lr:{:.3e}> ".format(
                     epoch, current_step, logs.get("lr", 0.0)
                 )
