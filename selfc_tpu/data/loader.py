@@ -29,6 +29,10 @@ def create_dataset(dataset_opt):
         return LQGTVIDDataset(dataset_opt)
     if mode == "LQGTVID_Aug":
         return LQGTVIDAugDataset(dataset_opt)
+    if mode == "LQGTVID_packed":
+        from .packed import LQGTVIDPackedDataset
+
+        return LQGTVIDPackedDataset(dataset_opt)
     if mode in ("LQGTVID_Conseutive", "LQGTVID_Consecutive"):
         return LQGTVIDConsecutiveDataset(dataset_opt)
     if mode == "LQGTVID_SR":

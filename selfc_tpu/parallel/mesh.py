@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -111,3 +112,22 @@ def auto_batch_sharding(mesh: Mesh, batch_size: int, spatial_axis: int | None = 
 def shard_batch(mesh: Mesh, batch, spatial_axis: int | None = None):
     """Place a host numpy batch onto the mesh with dp(+sp) sharding."""
     return jax.device_put(batch, batch_sharding(mesh, spatial_axis))
+
+
+@jax.jit
+def _u8_to_unit_f32(u8):
+    # XLA lowers the constant divide to multiply-by-reciprocal: within
+    # 1 ulp (<= 2^-24) of the host path's ``astype(float32) / 255``
+    return u8.astype(jnp.float32) / jnp.float32(255.0)
+
+
+def put_frames(frames: np.ndarray, sharding):
+    """Device-put a frame batch, doing the uint8 -> [0,1] float32 cast ON
+    DEVICE when the host hands over raw uint8 (the packed loader's
+    ``output_uint8`` fast path): the PCIe/tunnel transfer is 4x smaller and
+    the host never spends cycles on astype/255 — on a 1-core host that
+    conversion alone is most of the loader's steady-state cost (see
+    docs/PERF.md "Host data loading")."""
+    if frames.dtype == np.uint8:
+        return _u8_to_unit_f32(jax.device_put(frames, sharding))
+    return jax.device_put(np.asarray(frames, np.float32), sharding)

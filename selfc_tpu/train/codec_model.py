@@ -25,7 +25,7 @@ from ..codec.pipeline import compress_video
 from ..codec.surrogate import H265Surrogate, h265_host_roundtrip, mimick_and_swap
 from ..models import define_G
 from ..ops.quantize import quantize_ste
-from ..parallel.mesh import auto_batch_sharding, make_mesh, replicated
+from ..parallel.mesh import auto_batch_sharding, make_mesh, put_frames, replicated
 from . import checkpoint as ckpt
 from .losses import reconstruction_loss
 from .lr_schedule import multistep_restart
@@ -349,8 +349,8 @@ class CodecModel:
 
     # ------------------------------------------------------------------
     def feed_data(self, data):
-        gt = np.asarray(data["GT"], np.float32)
-        self.real_H = jax.device_put(
+        gt = np.asarray(data["GT"])  # float32 [0,1] or uint8 (packed loader)
+        self.real_H = put_frames(
             gt, auto_batch_sharding(self.mesh, gt.shape[0], self._spatial_axis)
         )
         return gt.shape[1]

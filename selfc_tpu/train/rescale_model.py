@@ -20,7 +20,7 @@ import optax
 from ..models import define_G
 from ..ops.quantize import quantize_ste
 from ..ops.resize import area_down, gaussian_downsample, imresize_matlab
-from ..parallel.mesh import auto_batch_sharding, make_mesh, replicated
+from ..parallel.mesh import auto_batch_sharding, make_mesh, put_frames, replicated
 from . import checkpoint as ckpt
 from .losses import reconstruction_loss
 from .lr_schedule import cosine_restart, multistep_restart
@@ -230,7 +230,7 @@ class RescaleModel:
         """data['GT']: numpy (B, T, H, W, 3) RGB in [0,1]; pads the clip to
         the configured video_len by repeating the last frame
         (reference SelfC_model.py:102-109)."""
-        gt = np.asarray(data["GT"], np.float32)
+        gt = np.asarray(data["GT"])  # float32 [0,1] or uint8 (packed loader)
         t_cfg = (
             self.opt["datasets"]["train"]["video_len"]
             if self.opt["datasets"] and self.opt["datasets"]["train"]
@@ -240,7 +240,7 @@ class RescaleModel:
         if t_cfg and clip_length < t_cfg:
             pad = np.repeat(gt[:, -1:], t_cfg - clip_length, axis=1)
             gt = np.concatenate([gt, pad], axis=1)
-        self.real_H = jax.device_put(
+        self.real_H = put_frames(
             gt, auto_batch_sharding(self.mesh, gt.shape[0], self._spatial_axis)
         )
         return clip_length

@@ -43,8 +43,16 @@ def ensure_data(root: str):
     )
 
 
+def ensure_packed(root: str, out: str):
+    if os.path.exists(os.path.join(out, "index.json")):
+        return
+    from selfc_tpu.data.packed import pack_lqgtvid
+
+    pack_lqgtvid(root, os.path.join(root, "list.txt"), out)
+
+
 def measure(root: str, use_proc: bool, n_workers: int, n_cold: int = 6,
-            n_steady: int = 30):
+            n_steady: int = 30, mode: str = "LQGTVID", u8: bool = False):
     """(cold batches/s, steady batches/s).
 
     Mirrors train.py: one ratio-200 DistIterSampler epoch, so workers
@@ -56,12 +64,12 @@ def measure(root: str, use_proc: bool, n_workers: int, n_cold: int = 6,
     data_util._DECODE_CACHE.clear()
     data_util._DECODE_CACHE_BYTES = 0
     ds_opt = dict_to_nonedict({
-        "phase": "train", "mode": "LQGTVID",
+        "phase": "train", "mode": mode,
         "dataroot_GT": root, "dataroot_list": os.path.join(root, "list.txt"),
         "video_len": T, "GT_size": GT_SIZE, "batch_size": BATCH,
         "use_flip": True, "use_rot": True, "use_shuffle": True,
         "n_workers": n_workers, "gpu_ids": [0],
-        "use_process_loader": use_proc,
+        "use_process_loader": use_proc, "output_uint8": u8,
     })
     ds = create_dataset(ds_opt)
     sampler = DistIterSampler(len(ds), 1, 0, ratio=200)
@@ -92,11 +100,22 @@ def main():
     args = ap.parse_args()
     ensure_data(args.root)
 
-    for use_proc in (False, True):
-        kind = "process" if use_proc else "thread"
-        for n_workers in (2, 4):
-            cold, steady = measure(args.root, use_proc, n_workers)
-            line = (f"{kind:8s} workers={n_workers}  "
+    packed_root = args.root.rstrip("/") + "_packed"
+    ensure_packed(args.root, packed_root)
+
+    cases = [
+        ("thread    ", args.root, False, "LQGTVID", (2, 4), False),
+        ("process   ", args.root, True, "LQGTVID", (2, 4), False),
+        ("packed    ", packed_root, False, "LQGTVID_packed", (1, 2), False),
+        ("packed+p  ", packed_root, True, "LQGTVID_packed", (1, 2), False),
+        ("packed-u8 ", packed_root, False, "LQGTVID_packed", (1, 2), True),
+        ("packed-u8p", packed_root, True, "LQGTVID_packed", (1, 2), True),
+    ]
+    for kind, root, use_proc, mode, worker_counts, u8 in cases:
+        for n_workers in worker_counts:
+            cold, steady = measure(root, use_proc, n_workers, mode=mode,
+                                   u8=u8)
+            line = (f"{kind} workers={n_workers}  "
                     f"cold {cold:5.2f} b/s  steady {steady:6.2f} b/s "
                     f"({steady * BATCH * T:7.1f} frames/s)")
             if args.step_ms:
