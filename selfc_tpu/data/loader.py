@@ -163,11 +163,11 @@ def _proc_worker_main(dataset, task_q, res_q, seed):
         task = task_q.get()
         if task is None:
             break
-        bi, batch_idx = task
+        gen, bi, batch_idx = task
         try:
-            res_q.put((bi, _collate([dataset[i] for i in batch_idx])))
+            res_q.put((gen, bi, _collate([dataset[i] for i in batch_idx])))
         except Exception as e:  # surface worker errors to the consumer
-            res_q.put((bi, e))
+            res_q.put((gen, bi, e))
 
 
 class ProcessDataLoader(DataLoader):
@@ -175,12 +175,43 @@ class ProcessDataLoader(DataLoader):
     processes so they never contend with the main process's GIL/dispatch
     (the thread-pool loader is GIL-bound on cv2 decode). Batches are
     re-ordered to the deterministic index order. Equivalent of the
-    reference's torch DataLoader worker processes (data/__init__.py:16-19).
+    reference's torch DataLoader worker processes (data/__init__.py:16-19)
+    with persistent_workers semantics: workers spawn ONCE on first
+    iteration and survive epoch boundaries — per-epoch spawn costs seconds
+    on a small host and showed up as a ~250 ms/step loader wait on short
+    synthetic epochs. Results carry an epoch-generation tag so batches
+    left in flight by an early-exited epoch are dropped, not replayed.
     """
 
-    def __iter__(self):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._procs = None
+        self._task_q = None
+        self._res_q = None
+        self._gen = 0
+
+    def _ensure_workers(self):
         import multiprocessing as mp
 
+        if self._procs is not None and all(p.is_alive() for p in self._procs):
+            return
+        # spawn: never fork a process that may hold XLA/jax state
+        ctx = mp.get_context("spawn")
+        self._task_q = ctx.Queue()
+        self._res_q = ctx.Queue(maxsize=4 * self.num_workers)
+        self._procs = [
+            ctx.Process(
+                target=_proc_worker_main,
+                args=(self.dataset, self._task_q, self._res_q,
+                      self._seed + 977 * self._epoch + w),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in self._procs:
+            p.start()
+
+    def __iter__(self):
         self._epoch += 1
         indices = self._indices()
         batches = [
@@ -192,30 +223,18 @@ class ProcessDataLoader(DataLoader):
         if not batches:
             return
 
-        # spawn: never fork a process that may hold XLA/jax state
-        ctx = mp.get_context("spawn")
-        task_q = ctx.Queue()
-        res_q = ctx.Queue(maxsize=2 * self.num_workers)
-        for task in enumerate(batches):
-            task_q.put(task)
-        for _ in range(self.num_workers):
-            task_q.put(None)
-        procs = [
-            ctx.Process(
-                target=_proc_worker_main,
-                args=(self.dataset, task_q, res_q,
-                      self._seed + 977 * self._epoch + w),
-                daemon=True,
-            )
-            for w in range(self.num_workers)
-        ]
-        for p in procs:
-            p.start()
+        self._ensure_workers()
+        self._gen += 1
+        gen = self._gen
+        for bi, b in enumerate(batches):
+            self._task_q.put((gen, bi, b))
         try:
             pending = {}
             nxt = 0
-            for _ in range(len(batches)):
-                bi, item = res_q.get()
+            while nxt < len(batches):
+                rgen, bi, item = self._res_q.get()
+                if rgen != gen:  # in-flight leftover of an early exit
+                    continue
                 pending[bi] = item
                 while nxt in pending:
                     out = pending.pop(nxt)
@@ -224,11 +243,30 @@ class ProcessDataLoader(DataLoader):
                         raise out
                     yield out
         finally:
-            for p in procs:
-                if p.is_alive():
-                    p.terminate()
-            for p in procs:
-                p.join(timeout=10)
+            # early exit: un-started tasks of this epoch must not burn
+            # worker time (stale RESULTS are filtered by the gen tag)
+            import queue as _queue
+
+            try:
+                while True:
+                    self._task_q.get_nowait()
+            except (_queue.Empty, OSError, ValueError):
+                pass
+
+    def close(self):
+        """Shut the persistent workers down (daemon procs die with the
+        main process anyway; tests call this for cleanliness)."""
+        if not self._procs:
+            return
+        for _ in self._procs:
+            self._task_q.put(None)
+        for p in self._procs:
+            p.join(timeout=5)
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=5)
+        self._procs = None
 
 
 def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):

@@ -196,6 +196,41 @@ class TestProcessLoader:
         assert isinstance(loader, ProcessDataLoader)
         batch = next(iter(loader))
         assert batch["GT"].shape == (2, 3, 32, 32, 3)
+        loader.close()
+
+    def test_workers_persist_across_epochs_and_early_exit(self, tmp_path):
+        """persistent_workers semantics: one spawn serves many epochs; a
+        mid-epoch break leaves no stale batches in the next epoch."""
+        from selfc_tpu.data.loader import ProcessDataLoader, create_dataset
+
+        TestLQGTVIDAug._make_vids(TestLQGTVIDAug(), tmp_path, n_vids=4)
+        ds_opt = dict_to_nonedict({
+            "mode": "LQGTVID", "phase": "val",
+            "dataroot_GT": str(tmp_path),
+            "dataroot_list": str(tmp_path / "list.txt"),
+            "video_len": 7, "GT_size": 32, "color": "RGB", "scale": 4,
+        })
+        loader = ProcessDataLoader(create_dataset(ds_opt), batch_size=1,
+                                   num_workers=2)
+        try:
+            first = list(loader)
+            procs = loader._procs
+            assert procs is not None and all(p.is_alive() for p in procs)
+
+            # early exit mid-epoch (train.py's `break` at niter)
+            it = iter(loader)
+            next(it)
+            it.close()
+
+            # next full epoch: same workers, same deterministic content
+            again = list(loader)
+            assert loader._procs is procs  # no respawn
+            assert len(again) == len(first) == 4
+            for a, b in zip(first, again):
+                np.testing.assert_array_equal(a["GT"], b["GT"])
+        finally:
+            loader.close()
+        assert loader._procs is None
 
 
 _DIST_CHILD = r"""

@@ -88,6 +88,8 @@ def measure(root: str, use_proc: bool, n_workers: int, n_cold: int = 6,
     run(n_cold)  # let the cache finish warming before the steady window
     steady = run(n_steady)
     it.close()
+    if hasattr(loader, "close"):
+        loader.close()
     return cold, steady
 
 
