@@ -74,10 +74,23 @@ class RescaleModel:
 
         if self.is_train:
             self._build_optimizer()
+        # train.gan_weight switches on the adversarial branch (netD + GAN /
+        # perceptual losses; reference components loss.py:69-124,
+        # discriminator_vgg_arch.py, networks.py:90-113)
+        self.gan = None
+        if self.is_train and self.train_opt["gan_weight"]:
+            from .gan import AdversarialBranch
+
+            self.gan = AdversarialBranch(self)
         self.load()
 
         # jitted steps, specialized per input shape on first call
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        if self.gan is not None:
+            self._jit_gan_step = jax.jit(
+                partial(self.gan.train_step, self),
+                donate_argnums=(0, 1, 2, 3, 4),
+            )
         self._jit_encode = jax.jit(self._encode)
         self._jit_decode = jax.jit(self._decode)
 
@@ -145,7 +158,7 @@ class RescaleModel:
     # ------------------------------------------------------------------
     # jitted bodies
     # ------------------------------------------------------------------
-    def _loss(self, params, hr, ref_l, rng):
+    def _pixel_losses(self, params, hr, ref_l, rng):
         to = self.train_opt
         # train.mixed_precision: bf16 activations / fp32 master params.
         # Parameters stay fp32 (Adam runs on fp32 grads); each conv casts
@@ -176,6 +189,10 @@ class RescaleModel:
             "loss_c": loss_c,
             "loss": loss,
         }
+        return loss, logs, out
+
+    def _loss(self, params, hr, ref_l, rng):
+        loss, logs, _ = self._pixel_losses(params, hr, ref_l, rng)
         return loss, logs
 
     def _train_step(self, params, opt_state, hr, lr_value, step):
@@ -247,6 +264,19 @@ class RescaleModel:
 
     def optimize_parameters(self, step: int):
         lr_value = self.lr_fn(step)
+        if self.gan is not None:
+            g = self.gan
+            (self.params, self.opt_state, g.d_params, g.d_stats,
+             g.d_opt_state, logs) = self._jit_gan_step(
+                self.params, self.opt_state, g.d_params, g.d_stats,
+                g.d_opt_state, g.f_params, self.real_H,
+                jnp.asarray(lr_value, jnp.float32),
+                jnp.asarray(g.lr_d_fn(step), jnp.float32),
+                jnp.asarray(step, jnp.int32),
+            )
+            self._raw_logs = logs
+            self._raw_logs_lr = lr_value
+            return
         self.params, self.opt_state, logs = self._jit_train_step(
             self.params, self.opt_state, self.real_H,
             jnp.asarray(lr_value, jnp.float32), jnp.asarray(step, jnp.int32),
@@ -318,15 +348,34 @@ class RescaleModel:
                                   self._arch, block_num),
                 replicated(self.mesh),
             )
+        d_path = (self.opt["path"] or {}).get("pretrain_model_D")
+        if d_path and self.gan is not None:
+            logger.info("Loading model for D [%s] ...", d_path)
+            self.gan.d_params = jax.device_put(
+                ckpt.load_network(d_path, jax.device_get(self.gan.d_params)),
+                replicated(self.mesh),
+            )
 
     def save(self, iter_label):
-        return ckpt.save_network(
+        path = ckpt.save_network(
             self.params, self.opt["path"]["models"], iter_label
         )
+        if self.gan is not None:
+            ckpt.save_network(
+                self.gan.d_params, self.opt["path"]["models"], iter_label, "D"
+            )
+        return path
 
     def save_training_state(self, epoch, it):
+        extra = None
+        if self.gan is not None:
+            extra = {
+                "d_opt_state": jax.device_get(self.gan.d_opt_state),
+                "d_stats": jax.device_get(self.gan.d_stats),
+            }
         return ckpt.save_training_state(
-            self.opt["path"]["training_state"], epoch, it, self.opt_state
+            self.opt["path"]["training_state"], epoch, it, self.opt_state,
+            extra=extra,
         )
 
     def resume_training(self, state_path: str, restore_optimizer: bool = True):
@@ -337,4 +386,12 @@ class RescaleModel:
         self.start_iter = payload["iter"]
         if restore_optimizer and self.is_train:
             self.opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+            extra = payload.get("extra") or {}
+            if self.gan is not None and "d_opt_state" in extra:
+                self.gan.d_opt_state = jax.tree.map(
+                    jnp.asarray, extra["d_opt_state"]
+                )
+                self.gan.d_stats = jax.tree.map(
+                    jnp.asarray, extra["d_stats"]
+                )
         return payload
