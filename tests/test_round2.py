@@ -721,3 +721,28 @@ class TestFastRng:
         assert fast.shape == slow.shape == (2, 4, 4, 8)
         # same distribution family, different streams
         assert np.all(np.isfinite(fast)) and np.all(np.isfinite(slow))
+
+
+class TestGopBatchEval:
+    def test_batched_gops_match_sequential(self):
+        """val.gop_batch folds independent GOPs into the batch axis of one
+        encode/decode call; with the deterministic l2 prior the output
+        must equal the sequential reference loop exactly (incl. the
+        trailing partial GOP and the group-level padding)."""
+        from selfc_tpu.train.rescale_model import RescaleModel
+
+        gt = np.random.default_rng(5).random((1, 18, 32, 32, 3)).astype(
+            np.float32
+        )
+        outs = {}
+        for n_batch in (1, 2):
+            opt = _gmm_opt()
+            opt["network_G"]["fh_loss"] = "l2"
+            opt["val"] = dict_to_nonedict({"gop_batch": n_batch})
+            m = RescaleModel(opt)
+            m.feed_data({"GT": gt})
+            m.test(gop=7)
+            outs[n_batch] = (m.fake_H, m.forw_L, m.forw_H)
+        for a, b in zip(outs[1], outs[2]):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-5)
