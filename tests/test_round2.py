@@ -746,3 +746,34 @@ class TestGopBatchEval:
         for a, b in zip(outs[1], outs[2]):
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+class TestNolocalGlobalModule:
+    def test_unrecognized_global_module_disables_aggs(self):
+        """The reference's vimeo90/spmc30 test configs set
+        `global_module: nolocal` — an unrecognized value its STPNet treats
+        as 'construct no global modules' but then crashes on in forward
+        (`if self.global_module:` is truthy for any string,
+        SelfC_GMM_arch_inv.py:369-372). Here the mode must build and run
+        with the aggregation modules cleanly disabled."""
+        from selfc_tpu.models.factory import define_G
+
+        opt = _gmm_opt()
+        opt["network_G"]["global_module"] = "nolocal"
+        net = define_G(opt)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((1, 3, 16, 16, 3)), jnp.float32
+        )
+        var = net.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            x, method=net.roundtrip,
+        )
+        flat = "/".join(
+            "/".join(p) if isinstance(p, tuple) else str(p)
+            for p in jax.tree_util.tree_flatten_with_path(var["params"])[0]
+            for p in [tuple(getattr(k, "key", str(k)) for k in p[0])]
+        )
+        assert "global" not in flat.lower()
+        out = net.apply(var, x, method=net.roundtrip,
+                        rngs={"sample": jax.random.PRNGKey(2)})
+        assert np.all(np.isfinite(np.asarray(out["hr"])))
