@@ -25,7 +25,7 @@ from selfc_tpu import config as option
 from selfc_tpu.data import DistIterSampler, create_dataloader, create_dataset
 from selfc_tpu.eval.rescaling import cal_metric
 from selfc_tpu.parallel.mesh import init_distributed, make_mesh
-from selfc_tpu.train.rescale_model import RescaleModel
+from selfc_tpu.train import create_model
 from selfc_tpu.utils.logger import setup_logger
 
 
@@ -111,11 +111,17 @@ def main():
 
     #### model
     mesh = make_mesh(sp=opt["mesh_sp"] or 1)
-    model = RescaleModel(opt, mesh=mesh, rng_seed=seed)
+    model = create_model(opt, mesh=mesh, rng_seed=seed)
     if resume_state is not None:
         model.start_epoch = resume_state["epoch"]
         model.start_iter = resume_state["iter"]
-        model.resume_training(opt["path"]["resume_state"])
+        # train.resume_optimizer: false mimics the reference's disabled
+        # optimizer restore (base_model.py:119-128 is commented out there)
+        restore_opt = (opt["train"] or {}).get("resume_optimizer")
+        model.resume_training(
+            opt["path"]["resume_state"],
+            restore_optimizer=restore_opt is None or bool(restore_opt),
+        )
         logger.info(
             "Resuming training from epoch: %d, iter: %d.",
             resume_state["epoch"], resume_state["iter"],
