@@ -11,7 +11,6 @@ segmentation + tiling (selfc_tpu/codec/pipeline.py).
 from __future__ import annotations
 
 import logging
-import random
 import time
 from collections import OrderedDict
 
@@ -34,46 +33,20 @@ from .rescale_model import make_degrade
 logger = logging.getLogger("base")
 
 
-def closure_convert_all(fun, *example_args):
-    """Like ``jax.closure_convert`` but hoists EVERY traced constant, not
-    just AD-perturbable (float) ones.
+def flatten_vjp(f_vjp):
+    """Flatten a ``jax.vjp`` pullback into (residual_leaves, treedef)
+    using only PUBLIC API.
 
-    ``jax.closure_convert`` leaves non-float consts (e.g. the bool
-    leaky-relu masks a VJP saves as residuals) baked into the returned
-    callable; when the conversion happens under an outer trace those stay
-    tracers and leak. Hoisting everything makes the converted function a
-    pure jaxpr evaluator whose residuals can cross a jit boundary as plain
-    arrays — which is exactly what the split-at-codec train step needs.
-    """
-    from jax import tree_util
-    from jax._src import core as _core
-    from jax._src import linear_util as _lu
-    from jax._src.api_util import debug_info as _dbg
-    from jax._src.api_util import flatten_fun_nokwargs as _flatten
-    from jax._src.interpreters import partial_eval as _pe
-
-    flat_args, in_tree = tree_util.tree_flatten(example_args)
-    in_avals = tuple(_core.get_aval(a) for a in flat_args)
-    dbg = _dbg("closure_convert_all", fun, example_args, {})
-    wrapped, out_tree = _flatten(
-        _lu.wrap_init(fun, debug_info=dbg), in_tree
-    )
-    jaxpr, _, consts = _pe.trace_to_jaxpr_dynamic(wrapped, in_avals)
-    out_tree = out_tree()
-    is_hoisted = [isinstance(c, _core.Tracer) for c in consts]
-    hoisted = [c for c, h in zip(consts, is_hoisted) if h]
-    baked = [c for c, h in zip(consts, is_hoisted) if not h]
-
-    def converted(*args_hconsts):
-        n_args = len(args_hconsts) - len(hoisted)
-        args, hconsts = args_hconsts[:n_args], args_hconsts[n_args:]
-        it_h, it_b = iter(hconsts), iter(baked)
-        merged = [next(it_h) if h else next(it_b) for h in is_hoisted]
-        flat, _ = tree_util.tree_flatten(tuple(args))
-        out_flat = _core.eval_jaxpr(jaxpr, merged, *flat)
-        return tree_util.tree_unflatten(out_tree, out_flat)
-
-    return converted, hoisted
+    The pullback returned by ``jax.vjp`` is a registered pytree
+    (``jax.tree_util.Partial``) whose leaves are exactly the VJP
+    residuals — including non-float ones like the bool LeakyReLU masks.
+    Flattening it inside one jit and unflattening inside another moves
+    the residuals across the jit boundary as plain arrays, which is what
+    the split-at-codec train step needs (the host codec runs between the
+    encode jit and the update jit). The treedef captured from an abstract
+    ``jax.eval_shape`` trace matches the concrete jit trace because both
+    lower the identical function at the identical shapes."""
+    return jax.tree_util.tree_flatten(f_vjp)
 
 
 class CodecModel:
@@ -105,6 +78,7 @@ class CodecModel:
         self._h265_keyint = train_len
         self.surrogate = H265Surrogate(dynamic_q=isinstance(self.q, list))
 
+        self._q_seed = rng_seed  # dynamic-q stream: (seed, step) keyed
         self.rng = jax.random.PRNGKey(rng_seed)
         self.rng, self._step_key = jax.random.split(self.rng)
         self.params = self._init_params()
@@ -209,38 +183,66 @@ class CodecModel:
     def _split_for_shape(self, hr_shape):
         """Build (fwd_jit, step_jit) for one HR shape.
 
-        fwd_jit(params, hr) -> (lf, lr_q, consts): runs the encode ONCE and
-        hoists its VJP residuals out as plain arrays (jax.closure_convert),
-        so they survive the host codec call between the two jits. step_jit
-        computes the rest of the loss with lf as an *input* and chains the
-        encode-parameter gradients through the saved residuals — no second
-        encode forward anywhere in the step.
+        Default ('residual', train.codec_split unset): fwd_jit(params, hr)
+        -> (lf, lr_q, residuals) runs the encode ONCE; its VJP residuals
+        cross the host-codec boundary as plain arrays (flatten_vjp, public
+        pytree API). step_jit computes the rest of the loss with lf as an
+        *input* and chains the encode-parameter gradients through the
+        saved residuals — no second encode forward anywhere in the step.
+
+        Fallback ('reencode', selected by ``train.codec_split: reencode``
+        or automatically if residual extraction fails on a future jax):
+        fwd_jit returns no residuals and step_jit re-runs the encode
+        inside the loss (public API only, one extra encode forward per
+        step — the round-1 double-encode structure).
         """
         if hr_shape in self._split_cache:
             return self._split_cache[hr_shape]
 
+        mode = self.train_opt["codec_split"] or "residual"
+        if mode == "residual":
+            try:
+                pair = self._build_residual_step(hr_shape)
+            except Exception as e:  # pragma: no cover - future-jax guard
+                logger.warning(
+                    "residual split-at-codec step unavailable (%s); "
+                    "falling back to the re-encode step", e
+                )
+                mode = "reencode"
+        if mode == "reencode":
+            pair = self._build_reencode_step(hr_shape)
+        elif mode != "residual":
+            raise ValueError(f"train.codec_split {mode!r}")
+        self._split_cache[hr_shape] = pair
+        return pair
+
+    def _build_residual_step(self, hr_shape):
         def fwd(params, hr):
             lf, f_vjp = jax.vjp(self._encode_lf, params, hr)
-            _, consts = closure_convert_all(f_vjp, lf)
+            consts, _ = flatten_vjp(f_vjp)
             # the host codec's input rounds at fp32 boundaries (bf16 under
             # mixed precision would shift the 255-level bins)
             lf32 = lf.astype(jnp.float32)
             lr_q = jnp.round(jnp.clip(lf32, 0.0, 1.0) * 255.0) / 255.0
             return lf, lr_q, tuple(consts)
 
-        # capture the converted VJP callable; tracing fwd abstractly
-        # produces the identical jaxpr (and thus const order) as fwd_jit
+        # capture the pullback treedef; tracing fwd abstractly produces
+        # the identical jaxpr (and thus residual order) as fwd_jit
         captured = {}
 
         def capture(params, hr):
             lf, f_vjp = jax.vjp(self._encode_lf, params, hr)
-            f_conv, consts = closure_convert_all(f_vjp, lf)
-            captured["f"] = f_conv
+            consts, treedef = flatten_vjp(f_vjp)
+            captured["treedef"] = treedef
             return lf, tuple(consts)
 
         hr_spec = jax.ShapeDtypeStruct(hr_shape, jnp.float32)
         jax.eval_shape(capture, self.params, hr_spec)
-        enc_bwd = captured["f"]
+        treedef = captured["treedef"]
+
+        def enc_bwd(g_lf, *consts):
+            f_vjp = jax.tree_util.tree_unflatten(treedef, list(consts))
+            return f_vjp(g_lf)
 
         def step(params, opt_state, hr, lf, consts, codec_out,
                  lr_value, step_i, q_value):
@@ -249,12 +251,29 @@ class CodecModel:
                 lr_value, step_i, q_value, enc_bwd,
             )
 
-        pair = (
+        return (
             jax.jit(fwd),
             jax.jit(step, donate_argnums=(0, 1)),
         )
-        self._split_cache[hr_shape] = pair
-        return pair
+
+    def _build_reencode_step(self, hr_shape):
+        def fwd(params, hr):
+            lf = self._encode_lf(params, hr)
+            lf32 = lf.astype(jnp.float32)
+            lr_q = jnp.round(jnp.clip(lf32, 0.0, 1.0) * 255.0) / 255.0
+            return lf, lr_q, ()
+
+        def step(params, opt_state, hr, lf, consts, codec_out,
+                 lr_value, step_i, q_value):
+            del lf, consts  # the loss recomputes the encode internally
+            return self._train_step_reencode(
+                params, opt_state, hr, codec_out, lr_value, step_i, q_value
+            )
+
+        return (
+            jax.jit(fwd),
+            jax.jit(step, donate_argnums=(0, 1)),
+        )
 
     def _loss(self, params, lf, hr, ref_l, codec_out, rng, q_value):
         to = self.train_opt
@@ -332,6 +351,41 @@ class CodecModel:
         logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return params, opt_state, logs
 
+    def _train_step_reencode(self, params, opt_state, hr, codec_out,
+                             lr_value, step, q_value):
+        """Fallback step: the encode re-runs INSIDE the loss (identical
+        output to the fwd jit's encode — the net is deterministic), so the
+        whole graph differentiates without carrying VJP residuals across
+        the host-codec boundary. One extra encode forward per step."""
+        rng = jax.random.fold_in(self._step_key, step)
+        if self._clear_state_steps:
+            at_restart = jnp.isin(step, jnp.asarray(self._clear_state_steps))
+            fresh = self.tx.init(params)
+            opt_state = jax.tree.map(
+                lambda f, o: jnp.where(at_restart, f, o), fresh, opt_state
+            )
+        ref_l = jax.lax.stop_gradient(self.degrade(hr))
+
+        def loss_fn(p):
+            lf = self._encode_lf(p, hr)
+            return self._loss(p, lf, hr, ref_l, codec_out, rng, q_value)
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr_value * u, params, updates
+        )
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+        )
+        logs = dict(logs)
+        logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
+        return params, opt_state, logs
+
     def _encode(self, params, x):
         y, _ = self.net.apply(
             {"params": params}, x, method=self.net.encode
@@ -355,11 +409,22 @@ class CodecModel:
         )
         return gt.shape[1]
 
+    def _draw_q(self, step: int) -> int:
+        """Dynamic q (reference Quantization_video_compression.py:49, rand
+        8-35 per step) keyed off (seed, step) — NOT the process-global
+        ``random`` module — so a resumed run replays the exact q sequence
+        of an uninterrupted one."""
+        return int(
+            np.random.default_rng((self._q_seed, step)).integers(
+                self.q[0], self.q[1], endpoint=True
+            )
+        )
+
     def optimize_parameters(self, step: int):
         lr_value = self.lr_fn(step)
         q = self.q
         if isinstance(q, list):
-            q = random.randint(q[0], q[1])
+            q = self._draw_q(step)
         # split-at-codec: jit encode (fwd ONCE, residuals out) -> host
         # codec -> jit loss+update pulling encode grads through residuals
         fwd_jit, step_jit = self._split_for_shape(tuple(self.real_H.shape))
@@ -398,9 +463,19 @@ class CodecModel:
             return self._jit_decode(net_params, jnp.asarray(tile), k)
 
         q = self.q if not isinstance(self.q, list) else self.q[0]
+        # val.{batch_tiles, seg_batch, overlap}: TPU serving structure of
+        # the streaming eval (codec/pipeline.py) — tiles/segments batched
+        # into single calls + host-codec/device overlap. Defaults ON;
+        # batch_tiles: false restores the reference's serial call pattern.
+        val_opt = self.opt["val"] if self.opt["val"] else {}
+        bt = val_opt.get("batch_tiles")
+        ov = val_opt.get("overlap")
         lr_dec, hr, video_bpp = compress_video(
             encode_fn, decode_fn, x, q, self.keyint, self.scale,
             self.h265_all_default,
+            batch_tiles=True if bt is None else bool(bt),
+            seg_batch=int(val_opt.get("seg_batch") or 4),
+            overlap=True if ov is None else bool(ov),
         )
         self.forw_L = lr_dec
         self.fake_H = hr

@@ -44,9 +44,13 @@ class RescaleModel:
     def __init__(self, opt, mesh=None, rng_seed: int = 0):
         import os as _os
 
-        # SELFC_TPU_EVAL_SEED varies the sample-PRNG stream (the GMM prior
+        # val.sample_seed varies the sample-PRNG stream (the GMM prior
         # draws at eval; reference used CUDA-global noise) so eval noise
-        # can be bounded by repeated runs.
+        # can be bounded by repeated runs. The SELFC_TPU_EVAL_SEED env var
+        # is kept as a CLI-side override for sweeping without config edits.
+        cfg_seed = (opt["val"] or {}).get("sample_seed") if opt["val"] else None
+        if cfg_seed is not None:
+            rng_seed = int(cfg_seed)
         rng_seed = int(_os.environ.get("SELFC_TPU_EVAL_SEED", rng_seed))
         self.opt = opt
         self.is_train = bool(opt["is_train"])
@@ -93,6 +97,11 @@ class RescaleModel:
             )
         self._jit_encode = jax.jit(self._encode)
         self._jit_decode = jax.jit(self._decode)
+        # gop_batch > 1 eval: vmap over the GOP-group axis with one PRNG
+        # key per group, so the sample stream equals the sequential path
+        self._jit_decode_batched = jax.jit(
+            jax.vmap(self._decode, in_axes=(None, 0, 0))
+        )
 
     # ------------------------------------------------------------------
     def _init_params(self):
@@ -225,7 +234,14 @@ class RescaleModel:
         )
         logs = dict(logs)
         logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
-        return params, opt_state, logs
+        # pack the log scalars into ONE device vector: each separate
+        # scalar readback costs a full tunnel roundtrip (~30 ms) at every
+        # print_freq sync — one buffer makes it one roundtrip
+        self._log_keys = tuple(sorted(logs))
+        log_vec = jnp.stack(
+            [logs[k].astype(jnp.float32) for k in self._log_keys]
+        )
+        return params, opt_state, log_vec
 
     def _encode(self, params, x):
         y, _ = self.net.apply({"params": params}, x, method=self.net.encode)
@@ -296,7 +312,12 @@ class RescaleModel:
         processes them sequentially), so batching them is pure serving
         throughput: fewer dispatches (each costs ~30 ms on a tunneled
         chip) and better device occupancy. The trailing group is padded
-        with repeats of its last GOP so every call compiles once."""
+        with repeats of its last GOP so every call compiles once.
+
+        The batched decode is a vmap over the GOP-group axis with one
+        PRNG subkey per real group, split from ``self.rng`` in the same
+        order as the sequential path — so the GMM sample stream is
+        IDENTICAL to gop_batch=1, not just statistically equivalent."""
         x = self.real_H
         B, T, H, W, _ = x.shape
         val_opt = self.opt["val"] if self.opt["val"] else {}
@@ -312,25 +333,40 @@ class RescaleModel:
         fake_H, forw_L, forw_Hf, sample_H = [], [], [], []
         for i in range(0, len(groups), n_batch):
             grp = groups[i:i + n_batch]
-            n_real = len(grp)
-            pad_grp = grp + [grp[-1]] * (n_batch - n_real)
-            chunk = (
-                x[:, pad_grp[0][0]]
-                if len(pad_grp) == 1
-                else jnp.concatenate([x[:, g[0]] for g in pad_grp], axis=0)
-            )
-            y = self._jit_encode(self.params, chunk)
-            lr = quantize_ste(y[..., :3])
-            self.rng, k = jax.random.split(self.rng)
-            hr, hf = self._jit_decode(self.params, lr, k)
-            hr, lr = np.asarray(hr), np.asarray(lr)
-            hfq, hfs = np.asarray(y[..., 3:]), np.asarray(hf)
-            for j, (_, orig) in enumerate(grp[:n_real]):
-                sl = slice(j * B, (j + 1) * B)
-                fake_H.append(hr[sl][:, :orig])
-                forw_L.append(lr[sl][:, :orig])
-                forw_Hf.append(hfq[sl][:, :orig])
-                sample_H.append(hfs[sl][:, :orig])
+            # pad the trailing call with repeats of the last GOP so every
+            # call compiles once; padding lives only in pad_grp and is
+            # never read back out
+            pad_grp = grp + [grp[-1]] * (n_batch - len(grp))
+            keys = []
+            for _ in grp:  # same split order as the sequential path
+                self.rng, k = jax.random.split(self.rng)
+                keys.append(k)
+            keys += [keys[-1]] * (n_batch - len(grp))
+            if len(pad_grp) == 1:
+                y = self._jit_encode(self.params, x[:, pad_grp[0][0]])
+                lr = quantize_ste(y[..., :3])
+                hr, hf = self._jit_decode(self.params, lr, keys[0])
+                hr, lr = np.asarray(hr)[None], np.asarray(lr)[None]
+                hfq, hfs = np.asarray(y[..., 3:])[None], np.asarray(hf)[None]
+            else:
+                chunk = jnp.concatenate([x[:, g[0]] for g in pad_grp], axis=0)
+                y = self._jit_encode(self.params, chunk)
+                lr = quantize_ste(y[..., :3])
+                grp_shape = (len(pad_grp), B) + lr.shape[1:]
+                hr, hf = self._jit_decode_batched(
+                    self.params, lr.reshape(grp_shape), jnp.stack(keys)
+                )
+                hr = np.asarray(hr)
+                lr = np.asarray(lr).reshape(grp_shape)
+                hfq = np.asarray(y[..., 3:]).reshape(
+                    (len(pad_grp), B) + y.shape[1:-1] + (y.shape[-1] - 3,)
+                )
+                hfs = np.asarray(hf)
+            for j, (_, orig) in enumerate(grp):
+                fake_H.append(hr[j][:, :orig])
+                forw_L.append(lr[j][:, :orig])
+                forw_Hf.append(hfq[j][:, :orig])
+                sample_H.append(hfs[j][:, :orig])
         self.fake_H = np.concatenate(fake_H, axis=1)
         self.forw_L = np.concatenate(forw_L, axis=1)
         self.forw_H = np.concatenate(forw_Hf, axis=1)
@@ -345,11 +381,22 @@ class RescaleModel:
         hr, _ = self._jit_decode(self.params, jnp.asarray(lr), k)
         return np.asarray(hr)
 
+    def _unpack_logs(self, log_vec) -> OrderedDict:
+        """Packed log vector (one device buffer) -> {name: float}."""
+        vals = np.asarray(log_vec)
+        return OrderedDict(
+            (k_, float(v)) for k_, v in zip(self._log_keys, vals)
+        )
+
     def get_current_log(self):
         if getattr(self, "_raw_logs", None) is not None:
-            self.log_dict = OrderedDict(
-                (k_, float(v)) for k_, v in self._raw_logs.items()
-            )
+            raw = self._raw_logs
+            if isinstance(raw, dict):  # GAN branch: per-key device scalars
+                self.log_dict = OrderedDict(
+                    (k_, float(v)) for k_, v in raw.items()
+                )
+            else:  # packed log vector: ONE device->host readback
+                self.log_dict = self._unpack_logs(raw)
             self.log_dict["lr"] = float(self._raw_logs_lr)
             self._raw_logs = None
         return self.log_dict

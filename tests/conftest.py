@@ -1,16 +1,32 @@
 """Test config: run everything on a virtual 8-device CPU mesh so sharding
-paths are exercised without TPU hardware."""
+paths are exercised without TPU hardware.
+
+On-TPU kernel regression lane (docs/STATUS.md): ``SELFC_TPU_TEST_TPU=1
+pytest -m tpu`` keeps the real backend (axon/TPU) instead of forcing CPU
+and runs the tests marked ``tpu`` — the Pallas chain fwd/adjoint/epilogue/
+W-packing oracles and the SSIM-precision pin — COMPILED on the chip (the
+kernels' interpret=True fallback only fires on the CPU backend). This is
+the repeatable lane for chip-numerics regressions (the round-2 SSIM
+corruption class of bug), since CPU emulation demonstrably diverges from
+chip numerics.
+"""
 
 import os
 
-# Force CPU: the driver environment pins JAX_PLATFORMS=axon (real TPU),
-# but tests must exercise the virtual multi-device mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+import pytest
+
+TPU_LANE = os.environ.get("SELFC_TPU_TEST_TPU") == "1"
+
+if not TPU_LANE:
+    # Force CPU: the driver environment pins JAX_PLATFORMS=axon (real TPU),
+    # but tests must exercise the virtual multi-device mesh.
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-# the axon TPU plugin can win over the env var; force the platform too
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    # the axon TPU plugin can win over the env var; force the platform too
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: model compiles dominate test time on the
 # single-core CPU host; cache them across test processes/runs. (The env-var
@@ -23,6 +39,21 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+
+def pytest_collection_modifyitems(config, items):
+    if not TPU_LANE:
+        return
+    # the TPU lane only makes sense with the marked subset on a real chip
+    if jax.default_backend() not in ("tpu",):
+        pytest.exit(
+            "SELFC_TPU_TEST_TPU=1 but backend is %r — run with "
+            "PYTHONPATH including /root/.axon_site" % jax.default_backend()
+        )
+    skip = pytest.mark.skip(reason="not part of the on-TPU lane (-m tpu)")
+    for item in items:
+        if "tpu" not in item.keywords:
+            item.add_marker(skip)
 
 
 def install_reference_stubs():

@@ -62,6 +62,61 @@ class TestStreams:
         assert np.mean(np.abs(out - frames)) < 0.1
 
 
+class TestBatchedPipeline:
+    """The batched/overlapped streaming pipeline (round-3: width halves +
+    2x2 tiles fold into the batch axis, seg_batch segments per call,
+    readback deferred one group) must be numerically identical to the
+    reference-shaped serial loop — batch entries are independent."""
+
+    def _fns(self):
+        # deterministic stand-in device fns with cross-pixel coupling
+        # inside each tile (3x3 mean filter) so any tile mix-up shows
+        def encode_fn(chunk):
+            c = np.asarray(chunk, np.float32)
+            lr = 0.25 * (c[:, :, ::2, ::2] + c[:, :, 1::2, ::2]
+                         + c[:, :, ::2, 1::2] + c[:, :, 1::2, 1::2])
+            return lr * 0.9 + 0.01
+
+        def decode_fn(tile):
+            t = np.asarray(tile, np.float32)
+            up = np.repeat(np.repeat(t, 2, axis=2), 2, axis=3)
+            return up + 0.001 * np.cumsum(up, axis=3)
+
+        return encode_fn, decode_fn
+
+    @pytest.mark.parametrize("seg_batch", [1, 2, 4])
+    def test_batched_equals_serial(self, seg_batch):
+        enc, dec = self._fns()
+        video = np.random.default_rng(7).random((1, 7, 16, 16, 3)).astype(
+            np.float32
+        )  # pads to 3 segments of 3
+        base = compress_video(enc, dec, video, 17, 12, 2,
+                              batch_tiles=False, seg_batch=1, overlap=False)
+        got = compress_video(enc, dec, video, 17, 12, 2,
+                             batch_tiles=True, seg_batch=seg_batch,
+                             overlap=True)
+        for a, b in zip(base, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_batched_call_count(self):
+        enc, dec = self._fns()
+        calls = {"enc": 0, "dec": 0}
+
+        def enc_c(x):
+            calls["enc"] += 1
+            return enc(x)
+
+        def dec_c(x):
+            calls["dec"] += 1
+            return dec(x)
+
+        video = np.zeros((1, 12, 16, 16, 3), np.float32)  # 4 segments
+        compress_video(enc_c, dec_c, video, 17, 12, 2,
+                       batch_tiles=True, seg_batch=2, overlap=True)
+        assert calls == {"enc": 2, "dec": 2}  # vs serial 8 enc + 16 dec
+
+
 class TestSurrogateSwap:
     def test_value_is_codec_grad_is_surrogate(self):
         rng = np.random.default_rng(2)

@@ -98,6 +98,7 @@ def test_ycbcr_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.tpu  # on-TPU lane: this failure class only reproduces on chip
 def test_ssim_immune_to_low_precision_policy():
     """SSIM must stay correct (and in [-1,1]) under a process-wide low
     matmul-precision policy. On TPU the default conv precision truncates

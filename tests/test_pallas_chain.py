@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.tpu  # part of the on-TPU kernel regression lane
+
 from selfc_tpu.models.blocks import D2DT, DenseBlock2D
 from selfc_tpu.ops.pallas_chain import (
     _pallas_impl,

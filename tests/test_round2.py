@@ -419,17 +419,18 @@ class TestCodecSingleEncode:
         )(m.params, lf, hr, ref_l, codec_out, key, q)
         captured = {}
 
-        from selfc_tpu.train.codec_model import closure_convert_all
+        from selfc_tpu.train.codec_model import flatten_vjp
 
         def capture(params, x):
             y, f_vjp = jax.vjp(m._encode_lf, params, x)
-            f_conv, consts_ = closure_convert_all(f_vjp, y)
-            captured["f"] = f_conv
+            consts_, treedef = flatten_vjp(f_vjp)
+            captured["td"] = treedef
             return y, tuple(consts_)
 
         jax.eval_shape(capture, m.params,
                        jax.ShapeDtypeStruct(hr.shape, jnp.float32))
-        g_enc, _ = captured["f"](g_lf, *consts)
+        vjp_fn = jax.tree_util.tree_unflatten(captured["td"], list(consts))
+        g_enc, _ = vjp_fn(g_lf)
         g_split = jax.tree.map(jnp.add, g_p, g_enc)
 
         # monolithic path (round-1 style): encode inside the loss
@@ -478,6 +479,64 @@ class TestCodecSingleEncode:
             jnp.float32(16),
         )
         assert f_step <= f_mono - 0.5 * f_enc, (f_step, f_mono, f_enc)
+
+    def test_reencode_fallback_matches_residual(self, tmp_path):
+        """train.codec_split: reencode (the public-API fallback for a jax
+        where VJP-residual transfer breaks) must produce the same updated
+        params as the default residual step — the re-run encode is
+        deterministic, so only the step structure differs."""
+        import sys
+
+        from selfc_tpu.train.codec_model import CodecModel
+
+        sys.modules.pop("_tiny", None)
+        from tests.test_codec import _tiny_codec_opt
+
+        clip = np.random.default_rng(4).random((1, 3, 32, 32, 3)).astype(
+            np.float32
+        )
+        outs = {}
+        for mode in ("residual", "reencode"):
+            opt = _tiny_codec_opt(tmp_path, str(tmp_path))
+            opt["train"]["h265_sug"] = False
+            opt["train"]["codec_split"] = mode
+            m = CodecModel(opt)
+            m.feed_data({"GT": clip})
+            m.optimize_parameters(1)
+            assert np.isfinite(m.get_current_log()["loss"])
+            outs[mode] = np.asarray(
+                jax.flatten_util.ravel_pytree(m.params)[0]
+            )
+        np.testing.assert_allclose(
+            outs["residual"], outs["reencode"], rtol=2e-4, atol=1e-6
+        )
+
+    def test_dynamic_q_stream_survives_resume(self, tmp_path):
+        """The dynamic-q draw is a pure function of (seed, step): a model
+        constructed fresh (= a resumed run) replays the identical q
+        sequence; the global `random` module state is irrelevant."""
+        import random as _random
+        import sys
+
+        from selfc_tpu.train.codec_model import CodecModel
+
+        sys.modules.pop("_tiny", None)
+        from tests.test_codec import _tiny_codec_opt
+
+        def build():
+            opt = _tiny_codec_opt(tmp_path, str(tmp_path))
+            opt["network_G"]["h265_q"] = [8, 35]
+            return CodecModel(opt)
+
+        m1 = build()
+        _random.seed(123)
+        seq1 = [m1._draw_q(s) for s in range(50)]
+        m2 = build()  # "resumed" process
+        _random.seed(999)  # global RNG state must not matter
+        seq2 = [m2._draw_q(s) for s in range(50)]
+        assert seq1 == seq2
+        assert all(8 <= v <= 35 for v in seq1)
+        assert len(set(seq1)) > 5  # actually varies
 
 
 class TestTorchExport:
@@ -533,7 +592,7 @@ class TestRematRoundtrip:
                 m.params, m.opt_state, hr,
                 jnp.float32(1e-4), jnp.int32(0),
             )
-            stepped[remat] = (p, float(logs["loss"]))
+            stepped[remat] = (p, m._unpack_logs(logs)["loss"])
         assert np.isfinite(stepped[True][1])
         assert abs(stepped[True][1] - stepped[False][1]) < 1e-3
         for a, b in zip(jax.tree.leaves(stepped[True][0]),
@@ -614,6 +673,7 @@ class TestMixedPrecisionTrain:
             p, s, logs = m._train_step(
                 m.params, m.opt_state, hr, jnp.float32(1e-4), jnp.int32(0)
             )
+            logs = m._unpack_logs(logs)
             assert jax.tree.leaves(p)[0].dtype == jnp.float32
             assert float(logs["skipped_nonfinite"]) == 0.0
             moved = max(
@@ -664,6 +724,7 @@ class TestMixedPrecisionDtypeHygiene:
         p, s, logs = m._train_step(
             m.params, m.opt_state, hr, jnp.float32(1e-4), jnp.int32(0)
         )
+        logs = m._unpack_logs(logs)
         assert float(logs["skipped_nonfinite"]) == 0.0
         assert np.isfinite(float(logs["loss"]))
 
@@ -746,6 +807,29 @@ class TestGopBatchEval:
         for a, b in zip(outs[1], outs[2]):
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_batched_gops_match_sequential_gmm_stream(self):
+        """With the STOCHASTIC gmm prior the batched path must reproduce
+        the sequential sample stream exactly (not just statistically):
+        the vmapped decode consumes one subkey per real GOP, split from
+        self.rng in the same order as gop_batch=1 (round-2 ADVICE)."""
+        from selfc_tpu.train.rescale_model import RescaleModel
+
+        gt = np.random.default_rng(6).random((1, 18, 32, 32, 3)).astype(
+            np.float32
+        )
+        outs = {}
+        for n_batch in (1, 2):
+            opt = _gmm_opt()
+            opt["network_G"]["fh_loss"] = "gmm"
+            opt["val"] = dict_to_nonedict({"gop_batch": n_batch})
+            m = RescaleModel(opt)
+            m.feed_data({"GT": gt})
+            m.test(gop=7)
+            outs[n_batch] = (m.fake_H, m.forw_L, m.sample_H)
+        for a, b in zip(outs[1], outs[2]):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 class TestNolocalGlobalModule:
