@@ -30,7 +30,14 @@ class LQGTVIDDataset:
         self.rng = random.Random()
 
     def __len__(self):
-        return len(self.paths_GT)
+        # datasets.train.epoch_ratio virtually inflates the epoch so the
+        # loader's per-epoch producer restart happens rarely — the
+        # reference's dataset_ratio=200 idea (train.py:171-182), applied
+        # at the dataset instead of the (dist-only) sampler. __getitem__
+        # indexes modulo the real length; augmentation/temporal sampling
+        # are drawn per call, so repeats are fresh samples.
+        ratio = (self.opt["epoch_ratio"] or 1) if self.is_train else 1
+        return len(self.paths_GT) * max(1, int(ratio))
 
     # -- temporal sampling (reference :184-214) --------------------------
     def _select_frames(self, frames):
@@ -82,7 +89,7 @@ class LQGTVIDDataset:
         return np.ascontiguousarray(util.bgr2rgb(img))
 
     def __getitem__(self, index):
-        frames = self.paths_GT[index]
+        frames = self.paths_GT[index % len(self.paths_GT)]
         gt_size = self.opt["GT_size"]
         sel = self._select_frames(frames)
         if self.is_train:

@@ -182,7 +182,7 @@ class LQGTVIDPackedDataset(LQGTVIDDataset):
         return np.ascontiguousarray(img)
 
     def __getitem__(self, index):
-        frames = self.paths_GT[index]
+        frames = self.paths_GT[index % len(self.paths_GT)]
         gt_size = self.opt["GT_size"]
         sel = self._select_frames(frames)
         if self.is_train:

@@ -23,21 +23,24 @@ from ..ops.conv import (
     torch_default_w as _torch_default_w,
     zeros_init,
 )
-from ..ops.deform import deform_conv2d, deform_conv2d_windowed
+from ..ops.deform import deform_conv2d_pallas, deform_conv2d_windowed
 from ..ops.resize import adaptive_avg_pool2d
 
 
 def _deform_fn(radius):
-    """Exact bilinear-gather deform conv (radius None) or the TPU-fast
-    windowed formulation (ops/deform.py:deform_conv2d_windowed) with the
-    total tap displacement bounded by ``radius``. The gather version runs
-    at ~0.3 TF/s on v5e; the windowed one is ~19x faster at radius 3
-    (docs/PERF.md) and exactly equal while offsets stay in-window."""
+    """Exact deform conv (radius None) or the windowed formulation
+    (ops/deform.py:deform_conv2d_windowed) with the total tap displacement
+    bounded by ``radius``. The exact default routes through the Pallas
+    gather kernel (deform_conv2d_pallas: VMEM-resident frame, in-kernel
+    row gather + 9 accumulated MXU dots) and falls back to the XLA
+    gather composition when the shape/backend doesn't qualify; the
+    windowed variant trades unbounded offsets for pure shift/VPU math
+    (docs/PERF.md "Deformable conv")."""
     if radius:
         def fn(x, off, mod, w, b):
             return deform_conv2d_windowed(x, off, mod, w, b, radius=radius)
         return fn
-    return deform_conv2d
+    return deform_conv2d_pallas
 
 
 def _scan_pair_sum(dconv, x_frame, offs, mods, w, b):

@@ -317,11 +317,18 @@ class RescaleModel:
         The batched decode is a vmap over the GOP-group axis with one
         PRNG subkey per real group, split from ``self.rng`` in the same
         order as the sequential path — so the GMM sample stream is
-        IDENTICAL to gop_batch=1, not just statistically equivalent."""
+        IDENTICAL to gop_batch=1, not just statistically equivalent.
+        Because of that equivalence the batching is AUTO-ENABLED for long
+        clips (up to 4 GOPs per call) when val.gop_batch is unset; set
+        ``val.gop_batch: 1`` to force the reference's sequential calls."""
         x = self.real_H
         B, T, H, W, _ = x.shape
         val_opt = self.opt["val"] if self.opt["val"] else {}
-        n_batch = int(val_opt.get("gop_batch") or 1)
+        n_groups = -(-T // gop)
+        n_batch = val_opt.get("gop_batch")
+        if n_batch is None:
+            n_batch = max(1, min(4, n_groups))  # auto: deliver the win
+        n_batch = int(n_batch)
 
         groups = []
         for start in range(0, T, gop):

@@ -205,6 +205,64 @@ class TestDeformAgg:
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.tpu  # on-TPU lane: compiled-gather numerics vs interpret
+    def test_pallas_gather_matches_exact(self):
+        """deform_conv2d_pallas (the exact Pallas gather kernel, SURVEY
+        §2.4's named kernel) must equal the XLA bilinear-gather
+        composition — values with UNBOUNDED offsets, and grads for x /
+        offsets / mask / weight (the custom-vjp backward is the oracle's
+        vjp, so this pins the plumbing end to end)."""
+        from selfc_tpu.ops.deform import (
+            deform_conv2d,
+            deform_conv2d_pallas,
+            deform_pallas_ok,
+        )
+
+        rng = np.random.default_rng(11)
+        B, H, W, C, Co = 2, 12, 16, 8, 8
+        assert deform_pallas_ok((B, H, W, C), Co)
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        # unbounded displacements (up to +-7): outside any window radius
+        off = jnp.asarray(rng.uniform(-7, 7, (B, H, W, 18)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, 9)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(Co), jnp.float32)
+
+        want = deform_conv2d(x, off, mask, w, b)
+        got = deform_conv2d_pallas(x, off, mask, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss(fn):
+            return lambda xx, oo, mm, ww: jnp.sum(
+                fn(xx, oo, mm, ww, b) ** 2
+            )
+
+        g_want = jax.grad(loss(deform_conv2d), argnums=(0, 1, 2, 3))(
+            x, off, mask, w
+        )
+        g_got = jax.grad(loss(deform_conv2d_pallas), argnums=(0, 1, 2, 3))(
+            x, off, mask, w
+        )
+        for a, bb in zip(g_got, g_want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_pallas_gather_shape_gate_falls_back(self):
+        """Odd channel counts don't qualify — the call must still work
+        (XLA fallback), not crash."""
+        from selfc_tpu.ops.deform import deform_conv2d, deform_conv2d_pallas
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.random((1, 6, 7, 5)), jnp.float32)  # C=5, W=7
+        off = jnp.zeros((1, 6, 7, 18))
+        mask = jnp.ones((1, 6, 7, 9))
+        w = jnp.asarray(rng.standard_normal((3, 3, 5, 4)) * 0.1, jnp.float32)
+        got = deform_conv2d_pallas(x, off, mask, w)
+        want = deform_conv2d(x, off, mask, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_deform_agg_windowed_matches_exact(self):
         """DeformConvAgg with deform_radius set must reproduce the exact
         module (same params, offsets perturbed away from zero-init)."""

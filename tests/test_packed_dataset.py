@@ -147,3 +147,25 @@ def test_registered_and_rides_process_loader(tmp_path):
     batch = next(iter(loader))
     assert batch["GT"].shape == (2, 5, 32, 32, 3)
     assert batch["GT"].dtype == np.float32
+
+
+def test_epoch_ratio_inflates_epoch(tmp_path):
+    """datasets.train.epoch_ratio virtually repeats the dataset (the
+    reference dataset_ratio=200 idea, train.py:171-182) so the loader's
+    per-epoch producer restart is rare; items index modulo the real
+    length and still sample fresh augmentations."""
+    src, dst = tmp_path / "png", tmp_path / "packed"
+    _make_vids(src)
+    _pack(src, dst)
+    from selfc_tpu.data.loader import create_dataset
+
+    base = create_dataset(_opt(dst, mode="LQGTVID_packed"))
+    ds = create_dataset(_opt(dst, mode="LQGTVID_packed", epoch_ratio=10))
+    assert len(ds) == 10 * len(base)
+    a = ds[0]["GT"]
+    b = ds[len(base) * 3]["GT"]  # same underlying clip, later "epoch"
+    assert a.shape == b.shape
+    # val phase ignores the ratio
+    val = create_dataset(_opt(dst, mode="LQGTVID_packed", phase="val",
+                              epoch_ratio=10))
+    assert len(val) == len(base)

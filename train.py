@@ -150,7 +150,13 @@ def main():
     ema_data, ema_step, ema, n_timed = 0.0, 0.0, 0.98, 0
     t_mark = time.perf_counter()
 
-    for epoch in range(model.start_epoch, total_epochs + 1):
+    # itertools.count: the loop is bounded by total_iters (the inner
+    # break), not the epoch estimate — so a resume whose config changed
+    # the epoch math (e.g. datasets.train.epoch_ratio) keeps training
+    # instead of silently exiting when start_epoch > total_epochs.
+    import itertools
+
+    for epoch in itertools.count(model.start_epoch):
         if opt["dist"] and train_loader.sampler is not None:
             train_loader.sampler.set_epoch(epoch)
         for train_data in train_loader:
