@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: frames/sec/chip for the flagship SelfC-GMM 4x rescaling
 roundtrip (encode -> quantize -> prior-sample -> decode) at Vid4 'city'
-resolution (1 x 7 x 576 x 704 x 3), bf16 activations.
+resolution (1 x 7 x 576 x 704 x 3).
+
+DEFAULT DTYPE IS float32 — the reference eval precision, i.e. the same
+pipeline the parity evals run. bf16 serving mode (``--dtype bfloat16``,
+val.eval_dtype in configs) is ~1.24x faster but costs a measured
+0.23 dB Y-PSNR on a trained checkpoint (docs/PERF.md "Eval precision"),
+so it is NOT the headline number.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": x}
@@ -69,7 +75,7 @@ def timed_chain(fn_step, x0, n1=4, n2=12, reps=3):
     return (t2 - t1) / (n2 - n1)
 
 
-def bench_tpu(reps: int = 3, dtype_name: str = "bfloat16") -> float:
+def bench_tpu(reps: int = 3, dtype_name: str = "float32") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -144,8 +150,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--make-baseline", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["bfloat16", "float32"],
+                    help="float32 = eval/parity grade (headline); "
+                         "bfloat16 = serving mode (+24%% fps, -0.23 dB)")
     args = ap.parse_args()
 
     if args.make_baseline:
@@ -167,6 +175,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "dtype": args.dtype,
     }))
 
 

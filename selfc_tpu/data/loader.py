@@ -91,6 +91,7 @@ class DataLoader:
         self.drop_last = drop_last
         self._epoch = 0
         self._seed = seed
+        self._pool = None  # persistent across epochs (see __iter__)
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
@@ -120,20 +121,47 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=2 * self.num_workers)
         stop = threading.Event()
 
+        # One executor for the loader's LIFETIME, and at most 2*num_workers
+        # futures in flight with each future reference dropped as soon as
+        # its batch is handed to the queue. The original per-epoch pattern
+        # (submit ALL batches up front, keep the futures list) retained
+        # every consumed batch's result until epoch end — ~22 GB live per
+        # 6k-iter epoch at the reference train shape — and the per-epoch
+        # executor churn (fresh threads -> fresh glibc arenas holding the
+        # sawtooth peaks) ratcheted host RSS to an OOM kill at 131 GB
+        # ~90 min into a long run.
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        pool = self._pool
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [
-                    pool.submit(lambda b=b: _collate([self.dataset[i] for i in b]))
-                    for b in batches
-                ]
-                for f in futures:
-                    if stop.is_set():
-                        f.cancel()
-                        continue
-                    try:
-                        q.put(f.result())
-                    except Exception as e:  # surface worker errors
-                        q.put(e)
+            from collections import deque
+
+            inflight: deque = deque()
+            it = iter(batches)
+
+            def submit_next():
+                b = next(it, None)
+                if b is not None:
+                    inflight.append(pool.submit(
+                        lambda b=b: _collate([self.dataset[i] for i in b])
+                    ))
+
+            for _ in range(2 * self.num_workers):
+                submit_next()
+            while inflight:
+                if stop.is_set():
+                    break
+                f = inflight.popleft()
+                try:
+                    item = f.result()
+                except Exception as e:  # surface worker errors
+                    item = e
+                del f  # drop the result reference before blocking on put
+                q.put(item)
+                submit_next()
+            for f in inflight:
+                f.cancel()
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -148,6 +176,20 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            # unblock a producer parked on a full queue so it can observe
+            # stop, cancel its tail, and exit (early epoch exit)
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+
+    def close(self):
+        """Shut the persistent worker pool down (daemon-threaded; tests
+        call this for cleanliness)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
 
 def _proc_worker_main(dataset, task_q, res_q, seed):

@@ -125,10 +125,15 @@ def _deform_tile_kernel(x_ref, off_ref, mask_ref, w_ref, o_ref, *,
                 wgt = jnp.where(valid, wgt, 0.0)
                 val = val + g * wgt.reshape(TH * W, 1)
             val = val * msk[..., k].reshape(TH * W, 1)
+            # explicit precision: don't inherit a global 'highest' policy
+            # onto sub-f32 operands (Mosaic rejects contract_precision<fp32>
+            # on bf16 — see pallas_chain._mxu_precision)
             acc = acc + jax.lax.dot_general(
                 val.astype(img.dtype), w_ref[k],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                precision=(None if img.dtype == f32
+                           else jax.lax.Precision.DEFAULT),
             )
     o_ref[0] = acc.reshape(TH, W, -1).astype(o_ref.dtype)
 

@@ -47,6 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 GC = 32  # chain growth per conv — fixed across every reference block family
 
 
+def _mxu_precision(a):
+    """Precision for an in-kernel MXU dot. Pallas dots must NOT inherit
+    the process-wide matmul-precision policy for sub-f32 operands:
+    test_rescaling.py pins jax_default_matmul_precision='highest' for
+    reference-grade fp32 eval, and Mosaic rejects contract_precision<fp32>
+    on bf16 operands ("Bad lhs type"). bf16 contracts at DEFAULT (native
+    MXU bf16 multiply, f32 accumulate via preferred_element_type); f32
+    operands keep inheriting the global policy (None)."""
+    return None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -139,6 +150,7 @@ def _chain_kernel(x_ref, w1, w2, w3, w4, b_ref, o_ref, work,
                 inp, w[dy],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                precision=_mxu_precision(inp),
             )
             part = d if part is None else part + d
         part = part.reshape(r_out, WP, 3 * GC)
@@ -407,6 +419,7 @@ def _spatial_chain_into(x_block, w_refs, b_ref, work, *, i_tile, TH, W, WT,
                 inp, w[dy],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                precision=_mxu_precision(inp),
             )
             part = d if part is None else part + d
         part = part.reshape(r_out, W, 3 * GC)
@@ -479,6 +492,7 @@ def _conv5_phase_dot(slots, w5_ref, b5_ref, phase, TH, W):
         inp5, w5p,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
+        precision=_mxu_precision(inp5),
     ).reshape(TH, W, -1)
     return y5 + b5_ref[0].astype(f32)
 
@@ -744,6 +758,7 @@ def _chain_kernel_v3(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
                     inp, w_refs[i - 1][...],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
+                    precision=_mxu_precision(inp),
                 )
             else:
                 w = w_refs[i - 1]
@@ -756,6 +771,7 @@ def _chain_kernel_v3(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
                         inp, w[dy],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=f32,
+                        precision=_mxu_precision(inp),
                     )
                     part = d if part is None else part + d
             part = part.reshape(r_out, WP, 3 * GC)
@@ -803,6 +819,7 @@ def _chain_kernel_v3(x_ref, w1, w2, w3, w4, b_ref, w5_ref, b5_ref, o_ref,
         inp5, w5p,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
+        precision=_mxu_precision(inp5),
     ).reshape(TH, WP, -1)
     y5 = y5 + b5_ref[0].astype(f32)
     o_ref[0, 0] = y5[:, 1:W + 1].astype(o_ref.dtype)
@@ -1389,6 +1406,7 @@ def _chain_kernel_v2r(x_ref, w1, w2, w3, w4, b_ref, wx4_ref, b5_ref, *rest,
                     inp, w[dy],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
+                    precision=_mxu_precision(inp),
                 )
                 part = d if part is None else part + d
             part = part.reshape(r_out, W, 3 * GC + NC)
@@ -1425,6 +1443,7 @@ def _chain_kernel_v2r(x_ref, w1, w2, w3, w4, b_ref, wx4_ref, b5_ref, *rest,
             inp4, wx4_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
+            precision=_mxu_precision(inp4),
         ).reshape(TH, W, NC)
         for k in range(3):
             for p in range(3):
@@ -1760,12 +1779,14 @@ def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False,
                 inp, dpart_c,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                precision=_mxu_precision(inp),
             )  # (kin, 3*GC)
             dw_refs[k - 1][dy] = dw_refs[k - 1][dy] + dwk
             dinp = jax.lax.dot_general(
                 dpart_c, w_refs[k - 1][dy],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
+                precision=_mxu_precision(dpart_c),
             ).reshape(r_out, W, kin)
             dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] = (
                 dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] + dinp

@@ -31,9 +31,16 @@ def pallas_enabled() -> bool:
 
 def _kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, negative_slope):
     # x*_ref: (ts, C) taps t-1, t, t+1; w_ref: (3, C, Co); b_ref: (1, Co)
-    acc = jnp.dot(x0_ref[:], w_ref[0], preferred_element_type=jnp.float32)
-    acc += jnp.dot(x1_ref[:], w_ref[1], preferred_element_type=jnp.float32)
-    acc += jnp.dot(x2_ref[:], w_ref[2], preferred_element_type=jnp.float32)
+    # explicit precision: sub-f32 operands must not inherit a global
+    # 'highest' matmul policy (see pallas_chain._mxu_precision)
+    prec = (None if x0_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    acc = jnp.dot(x0_ref[:], w_ref[0], preferred_element_type=jnp.float32,
+                  precision=prec)
+    acc += jnp.dot(x1_ref[:], w_ref[1], preferred_element_type=jnp.float32,
+                   precision=prec)
+    acc += jnp.dot(x2_ref[:], w_ref[2], preferred_element_type=jnp.float32,
+                   precision=prec)
     acc = acc + b_ref[0]
     if negative_slope is not None:
         acc = jnp.where(acc >= 0, acc, negative_slope * acc)

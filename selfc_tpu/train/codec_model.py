@@ -349,7 +349,13 @@ class CodecModel:
         )
         logs = dict(logs)
         logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
-        return params, opt_state, logs
+        # pack log scalars into one device vector (one tunnel roundtrip
+        # per print instead of one per scalar; see rescale_model)
+        self._log_keys = tuple(sorted(logs))
+        log_vec = jnp.stack(
+            [logs[k].astype(jnp.float32) for k in self._log_keys]
+        )
+        return params, opt_state, log_vec
 
     def _train_step_reencode(self, params, opt_state, hr, codec_out,
                              lr_value, step, q_value):
@@ -384,7 +390,13 @@ class CodecModel:
         )
         logs = dict(logs)
         logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
-        return params, opt_state, logs
+        # pack log scalars into one device vector (one tunnel roundtrip
+        # per print instead of one per scalar; see rescale_model)
+        self._log_keys = tuple(sorted(logs))
+        log_vec = jnp.stack(
+            [logs[k].astype(jnp.float32) for k in self._log_keys]
+        )
+        return params, opt_state, log_vec
 
     def _encode(self, params, x):
         y, _ = self.net.apply(
@@ -486,8 +498,9 @@ class CodecModel:
 
     def get_current_log(self):
         if getattr(self, "_raw_logs", None) is not None:
+            vals = np.asarray(self._raw_logs)  # packed: ONE readback
             self.log_dict = OrderedDict(
-                (k_, float(v)) for k_, v in self._raw_logs.items()
+                (k_, float(v)) for k_, v in zip(self._log_keys, vals)
             )
             self.log_dict["lr"] = float(self._raw_logs_lr)
             # measured rate of the host codec span this step (reference

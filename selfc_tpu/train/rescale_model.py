@@ -243,18 +243,41 @@ class RescaleModel:
         )
         return params, opt_state, log_vec
 
+    def _eval_dtype(self):
+        """val.eval_dtype: bfloat16 switches the EVAL roundtrip to bf16
+        activations (the serving-throughput mode PERF.md benches — ~2.2x
+        the fp32 fps). Params stay fp32 masters; casts happen inside the
+        jitted fns; outputs return as fp32 so the STE quantization and the
+        (HIGHEST-precision) metrics are unaffected. Default fp32 = the
+        reference eval precision (SelfC_model.py:185-250)."""
+        val_opt = self.opt["val"] if self.opt["val"] else {}
+        name = str(val_opt.get("eval_dtype") or "float32").lower()
+        if name in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        if name in ("f32", "fp32", "float32"):
+            return None
+        raise ValueError(f"val.eval_dtype {name!r}")
+
     def _encode(self, params, x):
+        dt = self._eval_dtype()
+        if dt is not None:
+            params = jax.tree.map(lambda a: a.astype(dt), params)
+            x = x.astype(dt)
         y, _ = self.net.apply({"params": params}, x, method=self.net.encode)
-        return y
+        return y.astype(jnp.float32)
 
     def _decode(self, params, lr, rng):
+        dt = self._eval_dtype()
+        if dt is not None:
+            params = jax.tree.map(lambda a: a.astype(dt), params)
+            lr = lr.astype(dt)
         hr, hf = self.net.apply(
             {"params": params}, lr, method=self.net.decode,
             rngs={"sample": rng},
         )
         if hf is None:  # IRN samples uniform HF and returns no latents
             hf = jnp.zeros_like(lr)
-        return hr, hf
+        return hr.astype(jnp.float32), hf.astype(jnp.float32)
 
     # ------------------------------------------------------------------
     # reference-compatible API

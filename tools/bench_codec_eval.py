@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--mode", default="batched",
+                    choices=["serial", "batched"],
+                    help="serial = the reference call pattern (one device "
+                         "call per tile, no host/device overlap); batched = "
+                         "tiles ride the batch axis + overlapped readback")
+    ap.add_argument("--seg-batch", type=int, default=4,
+                    help="segments folded per device call (batched mode; "
+                         "4 = the CodecModel default)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +62,11 @@ def main():
         ),
         "path": {},
         "train": None,
+        "val": {
+            "batch_tiles": args.mode == "batched",
+            "seg_batch": args.seg_batch,
+            "overlap": args.mode == "batched",
+        },
     })
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     model = CodecModel(opt)

@@ -1,0 +1,55 @@
+#!/bin/bash
+# Crash-proof driver for the full 400k-iter reference-recipe training run
+# (VERDICT r2 item 1). Runs train.py in a loop; on any non-zero exit
+# (session kill, OOM, tunnel hiccup) it regenerates a resume config
+# pointed at the newest training_state and relaunches. Exits when the
+# final iteration's state exists or train.py completes cleanly.
+#
+# Launch detached (survives the driving session):
+#   tmux new-session -d -s train400k 'bash /root/repo/tools/train400k_loop.sh'
+set -u
+cd /root/repo
+BASE=selfc_tpu/configs/train/train_rescaling_400k_packed.yml
+EXP=experiments/SelfC_large_GMM_400k
+LOG=/tmp/train400k_loop.log
+TARGET=400000
+
+while true; do
+  LATEST=$(ls "$EXP"/training_state/*.state 2>/dev/null \
+             | sed 's,.*/,,;s,\.state,,' | sort -n | tail -1)
+  if [ -n "${LATEST:-}" ] && [ "$LATEST" -ge "$TARGET" ]; then
+    echo "[loop] target $TARGET reached (state $LATEST) at $(date)" >> "$LOG"
+    break
+  fi
+  CFG="$BASE"
+  if [ -n "${LATEST:-}" ]; then
+    CFG=/tmp/train400k_resume_auto.yml
+    python - "$BASE" "$EXP/training_state/$LATEST.state" "$CFG" <<'EOF'
+import sys, yaml
+base, state, out = sys.argv[1:4]
+with open(base) as f:
+    opt = yaml.safe_load(f)
+opt["path"]["resume_state"] = state
+# bound crash loss: checkpoint every 5k once the loop owns the run
+opt["logger"]["save_checkpoint_freq"] = 5000.0
+with open(out, "w") as f:
+    yaml.safe_dump(opt, f)
+EOF
+    echo "[loop] resuming from $LATEST at $(date)" >> "$LOG"
+  else
+    echo "[loop] fresh start at $(date)" >> "$LOG"
+  fi
+  # persistent compile cache: a crash-restart otherwise pays ~10 min
+  # re-tracing+compiling the train step before the first resumed iter
+  PYTHONPATH=/root/repo:/root/.axon_site \
+  JAX_COMPILATION_CACHE_DIR=/tmp/jax_ccache \
+  JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2 \
+    python train.py -opt "$CFG" >> "$LOG" 2>&1
+  RC=$?
+  echo "[loop] train.py exit=$RC at $(date)" >> "$LOG"
+  # NOTE: exit 0 does NOT end the loop — a SIGTERM-graceful shutdown also
+  # exits 0 (checkpoint + return). Completion is detected solely by the
+  # target check at the top of the loop.
+  sleep 10
+done
+echo "[loop] done at $(date)" >> "$LOG"

@@ -29,6 +29,23 @@ from selfc_tpu.train import create_model
 from selfc_tpu.utils.logger import setup_logger
 
 
+def _rss_gb() -> float:
+    """Resident set size of this process in GiB (Linux)."""
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+
+
+def _malloc_trim() -> None:
+    """Ask glibc to return freed heap to the OS (no-op if unavailable)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
@@ -145,6 +162,22 @@ def main():
         signal.signal(signal.SIGTERM, _graceful)
         signal.signal(signal.SIGINT, _graceful)
 
+    # Host-RSS watchdog: the axon tunnel client leaks host heap roughly
+    # proportionally to bytes transferred (~5 MB/train-step at the
+    # reference batch — measured via /proc/<pid>/smaps during the 400k
+    # run; the process was OOM-killed at 131 GB anon RSS ~90 min in).
+    # The leak is below our Python layer (glibc main-arena [heap] growth
+    # with no matching live Python objects), so the guard is recovery,
+    # not cure: past the limit it malloc_trims, and if RSS stays high it
+    # checkpoints at the CURRENT iter and exits 0 — the crash-loop driver
+    # (tools/train400k_loop.sh) relaunches from that exact state, so a
+    # long run survives unattended with zero lost iterations.
+    rss_limit = float(
+        (train_opt or {}).get("rss_limit_gb")
+        or os.environ.get("SELFC_TPU_RSS_LIMIT_GB")
+        or 100.0
+    )
+
     # wall-time split: loader wait vs feed+step (EMA; shows whether the
     # host pipeline or the device bounds throughput)
     ema_data, ema_step, ema, n_timed = 0.0, 0.0, 0.98, 0
@@ -169,6 +202,18 @@ def main():
                 model.save(current_step)
                 model.save_training_state(epoch, current_step)
                 return
+            if rank == 0 and current_step % 100 == 0 and _rss_gb() > rss_limit:
+                _malloc_trim()
+                rss = _rss_gb()
+                if rss > rss_limit:
+                    logger.warning(
+                        "Host RSS %.1f GB > limit %.1f GB (tunnel-client "
+                        "leak); checkpointing at iter %d and exiting for a "
+                        "clean relaunch.", rss, rss_limit, current_step,
+                    )
+                    model.save(current_step)
+                    model.save_training_state(epoch, current_step)
+                    return
             model.feed_data(train_data)
             model.optimize_parameters(current_step)
             t_done = time.perf_counter()
