@@ -8,7 +8,9 @@
 # Launch detached (survives the driving session):
 #   tmux new-session -d -s train400k 'bash /root/repo/tools/train400k_loop.sh'
 set -u
-cd /root/repo
+# TRAIN_REPO lets the run execute from a frozen git worktree so edits to
+# the live repo can't change the trainer's code under a crash-relaunch.
+cd "${TRAIN_REPO:-/root/repo}"
 BASE=selfc_tpu/configs/train/train_rescaling_400k_packed.yml
 EXP=experiments/SelfC_large_GMM_400k
 LOG=/tmp/train400k_loop.log
