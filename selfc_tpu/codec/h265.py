@@ -170,6 +170,18 @@ class NullCodec:
         pass
 
 
-def make_stream(q, keyint, scale_times, h265_all_default=False):
-    cls = H265Stream if ffmpeg_available() else NullCodec
-    return cls(q, keyint, scale_times, h265_all_default)
+def make_stream(q, keyint, scale_times, h265_all_default=False,
+                stand_in: str | None = None):
+    """Real x265 stream when ffmpeg exists; otherwise the configured
+    stand-in: ``zlib`` = ZlibCodec (REAL bitstream, measured bpp — see
+    codec/standin.py), anything else = NullCodec (identity readback,
+    formula bpp). ``stand_in`` defaults from $SELFC_TPU_STANDIN_CODEC."""
+    if ffmpeg_available():
+        return H265Stream(q, keyint, scale_times, h265_all_default)
+    if stand_in is None:
+        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "null")
+    if str(stand_in).lower() == "zlib":
+        from .standin import ZlibCodec
+
+        return ZlibCodec(q, keyint, scale_times, h265_all_default)
+    return NullCodec(q, keyint, scale_times, h265_all_default)

@@ -88,6 +88,7 @@ def compress_video(
     batch_tiles: bool = True,
     seg_batch: int = 1,
     overlap: bool = True,
+    stand_in: str | None = None,
 ):
     """Full streaming compression roundtrip.
 
@@ -110,7 +111,8 @@ def compress_video(
     dw, dh = divide_width_num, divide_height_num
     G = max(1, int(seg_batch)) if batch_tiles else 1
 
-    stream = make_stream(q, keyint, scale, h265_all_default)
+    stream = make_stream(q, keyint, scale, h265_all_default,
+                         stand_in=stand_in)
     stream.open_writer(W // scale, H // scale)
 
     wd = W // dw

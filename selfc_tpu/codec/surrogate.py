@@ -13,6 +13,7 @@ backward, :10-59).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import flax.linen as nn
@@ -71,7 +72,8 @@ class H265Surrogate(nn.Module):
 
 
 def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
-                        h265_all_default: bool = False):
+                        h265_all_default: bool = False,
+                        stand_in: str | None = None):
     """Host-side codec roundtrip: (B,T,h,w,3) float [0,1] ->
     (decoded, mean_bpp).
 
@@ -86,6 +88,8 @@ def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
     rate logging (reference logs img_bpp, SelfC_Codec_model.py:174)."""
     lr = np.asarray(lr)
     B, T = lr.shape[:2]
+    if stand_in is None:
+        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "null")
     outs = []
     bpps = []
     for b in range(B):
@@ -96,6 +100,16 @@ def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
             )
             if dec.shape[0] < T:
                 dec = np.clip(lr[b], 0, 1)
+            bpps.append(bpp)
+        elif str(stand_in).lower() == "zlib":
+            # measured-rate stand-in (codec/standin.py): train-time
+            # img_bpp logging gets a real byte count, not a hard zero
+            from .standin import zlib_encode_decode_clip
+
+            dec, bpp = zlib_encode_decode_clip(
+                np.clip(lr[b], 0, 1), int(q), keyint, scale_times,
+                h265_all_default,
+            )
             bpps.append(bpp)
         else:
             dec = (np.clip(lr[b], 0, 1) * 255.0).round() / 255.0

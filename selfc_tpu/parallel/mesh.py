@@ -109,6 +109,22 @@ def auto_batch_sharding(mesh: Mesh, batch_size: int, spatial_axis: int | None = 
     return replicated(mesh)
 
 
+def dp_sharding(mesh: Mesh, batch_size: int):
+    """dp sharding over axis 0 of an array of ANY rank (trailing axes
+    replicated) when the batch divides the dp axis, else fully replicate.
+
+    This is the eval-serving analogue of ``auto_batch_sharding``: the
+    batched streaming-eval calls (codec width-halves/2x2 tiles x seg_batch
+    segments, rescaling gop_batch GOP groups) are independent along axis 0
+    by construction, so sharding them over dp scales eval throughput over
+    ICI with zero collectives — the reference's equivalent is a serial
+    single-GPU loop (SelfC_Codec_arch_inv.py:516-624, SelfC_model.py:
+    196-250)."""
+    if batch_size % mesh.shape["dp"] == 0:
+        return NamedSharding(mesh, P("dp"))
+    return NamedSharding(mesh, P())
+
+
 def shard_batch(mesh: Mesh, batch, spatial_axis: int | None = None):
     """Place a host numpy batch onto the mesh with dp(+sp) sharding."""
     return jax.device_put(batch, batch_sharding(mesh, spatial_axis))

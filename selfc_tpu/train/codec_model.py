@@ -24,7 +24,13 @@ from ..codec.pipeline import compress_video
 from ..codec.surrogate import H265Surrogate, h265_host_roundtrip, mimick_and_swap
 from ..models import define_G
 from ..ops.quantize import quantize_ste
-from ..parallel.mesh import auto_batch_sharding, make_mesh, put_frames, replicated
+from ..parallel.mesh import (
+    auto_batch_sharding,
+    dp_sharding,
+    make_mesh,
+    put_frames,
+    replicated,
+)
 from . import checkpoint as ckpt
 from .losses import reconstruction_loss
 from .lr_schedule import multistep_restart
@@ -65,6 +71,12 @@ class CodecModel:
         self.keyint = self.net_opt["h265_keyint"]
         self.h265_all_default = bool(self.net_opt["h265_all_default"])
         self.use_surrogate = bool(self.is_train and self.train_opt["h265_sug"])
+        # ffmpeg-less stand-in codec choice ('zlib' = measured-rate
+        # bitstream, codec/standin.py); one knob for train + eval
+        self._standin_codec = (
+            (opt["val"] or {}).get("standin_codec")
+            or self.train_opt.get("standin_codec")
+        )
         # train.mixed_precision: bf16 activations / fp32 masters, mirroring
         # RescaleModel. The 255-level rounding and the host codec always
         # see fp32; losses accumulate in fp32.
@@ -445,7 +457,8 @@ class CodecModel:
         if self.noise_type == "h265":
             t_host = time.perf_counter()
             codec_np, img_bpp = h265_host_roundtrip(
-                np.asarray(lr_q), q, self._h265_keyint, self.scale
+                np.asarray(lr_q), q, self._h265_keyint, self.scale,
+                stand_in=self._standin_codec,
             )
             # host-codec share of the step (includes the device->host sync
             # of lr_q); read by tools/bench_train_codec.py
@@ -467,12 +480,22 @@ class CodecModel:
         x = np.asarray(self.real_H)
         net_params = self.params["net"] if "net" in self.params else self.params
 
+        # the pipeline's batched calls stack independent (segment, tile)
+        # entries on axis 0 — shard that axis over the mesh's dp devices
+        # (collective-free eval data-parallelism; single-device mesh = the
+        # reference placement)
         def encode_fn(chunk):
-            return self._jit_encode(net_params, jnp.asarray(chunk))
+            c = np.asarray(chunk, np.float32)
+            return self._jit_encode(
+                net_params, put_frames(c, dp_sharding(self.mesh, c.shape[0]))
+            )
 
         def decode_fn(tile):
             self.rng, k = jax.random.split(self.rng)
-            return self._jit_decode(net_params, jnp.asarray(tile), k)
+            t = np.asarray(tile, np.float32)
+            return self._jit_decode(
+                net_params, put_frames(t, dp_sharding(self.mesh, t.shape[0])), k
+            )
 
         q = self.q if not isinstance(self.q, list) else self.q[0]
         # val.{batch_tiles, seg_batch, overlap}: TPU serving structure of
@@ -488,6 +511,9 @@ class CodecModel:
             batch_tiles=True if bt is None else bool(bt),
             seg_batch=int(val_opt.get("seg_batch") or 4),
             overlap=True if ov is None else bool(ov),
+            # val.standin_codec: 'zlib' = measured-rate stand-in when
+            # ffmpeg is absent (codec/standin.py); default NullCodec
+            stand_in=self._standin_codec,
         )
         self.forw_L = lr_dec
         self.fake_H = hr

@@ -20,7 +20,13 @@ import optax
 from ..models import define_G
 from ..ops.quantize import quantize_ste
 from ..ops.resize import area_down, gaussian_downsample, imresize_matlab
-from ..parallel.mesh import auto_batch_sharding, make_mesh, put_frames, replicated
+from ..parallel.mesh import (
+    auto_batch_sharding,
+    dp_sharding,
+    make_mesh,
+    put_frames,
+    replicated,
+)
 from . import checkpoint as ckpt
 from .losses import reconstruction_loss
 from .lr_schedule import cosine_restart, multistep_restart
@@ -379,12 +385,24 @@ class RescaleModel:
                 hr, lr = np.asarray(hr)[None], np.asarray(lr)[None]
                 hfq, hfs = np.asarray(y[..., 3:])[None], np.asarray(hf)[None]
             else:
-                chunk = jnp.concatenate([x[:, g[0]] for g in pad_grp], axis=0)
+                # GOP groups stack on axis 0 — shard them over the mesh's
+                # dp devices (collective-free eval parallelism; encode
+                # outputs stay sharded through quantize into the vmapped
+                # decode, whose group axis inherits the same placement)
+                chunk = jax.device_put(
+                    jnp.concatenate([x[:, g[0]] for g in pad_grp], axis=0),
+                    dp_sharding(self.mesh, len(pad_grp) * B),
+                )
                 y = self._jit_encode(self.params, chunk)
                 lr = quantize_ste(y[..., :3])
                 grp_shape = (len(pad_grp), B) + lr.shape[1:]
                 hr, hf = self._jit_decode_batched(
-                    self.params, lr.reshape(grp_shape), jnp.stack(keys)
+                    self.params,
+                    jax.device_put(
+                        lr.reshape(grp_shape),
+                        dp_sharding(self.mesh, len(pad_grp)),
+                    ),
+                    jnp.stack(keys),
                 )
                 hr = np.asarray(hr)
                 lr = np.asarray(lr).reshape(grp_shape)
