@@ -36,10 +36,24 @@ def main():
                  level=logging.INFO, screen=True, tofile=True)
     logger = logging.getLogger("base")
     if not ffmpeg_available():
-        logger.warning(
-            "ffmpeg/libx265 not found — using the stand-in codec; bpp and "
-            "distortion numbers are NOT comparable to the golden logs."
+        standin = (
+            (opt["val"] or {}).get("standin_codec")
+            or os.environ.get("SELFC_TPU_STANDIN_CODEC", "null")
         )
+        if str(standin).lower() == "zlib":
+            logger.warning(
+                "ffmpeg/libx265 not found — using the ZlibCodec stand-in: "
+                "bpp IS a measured bitstream rate (codec/standin.py) but "
+                "is an upper bound vs x265; numbers are NOT comparable to "
+                "the golden logs."
+            )
+        else:
+            logger.warning(
+                "ffmpeg/libx265 not found — using the NullCodec stand-in; "
+                "bpp is a content-independent FORMULA (not a measured "
+                "rate; set val.standin_codec: zlib for a measured one) "
+                "and numbers are NOT comparable to the golden logs."
+            )
 
     test_loaders = []
     for phase, dataset_opt in sorted((opt["datasets"] or {}).items()):
