@@ -49,6 +49,19 @@ EOF
     python train.py -opt "$CFG" >> "$LOG" 2>&1
   RC=$?
   echo "[loop] train.py exit=$RC at $(date)" >> "$LOG"
+  # Preserve a RESUMABLE pair (params + opt-state) in the git repo: the
+  # 2026-08-20 VM recycle proved that committing only the .state loses
+  # the run — opt_state has no params, so resume needs {iter}_G.msgpack
+  # too (selfc_tpu/train/checkpoint.py:84-101).
+  NEWEST=$(ls "$EXP"/training_state/*.state 2>/dev/null \
+             | sed 's,.*/,,;s,\.state,,' | sort -n | tail -1)
+  if [ -n "${NEWEST:-}" ]; then
+    mkdir -p /root/repo/runs/400k
+    cp -f "$EXP/training_state/$NEWEST.state" /root/repo/runs/400k/latest.state
+    cp -f "$EXP/models/${NEWEST}_G.msgpack" /root/repo/runs/400k/latest_G.msgpack 2>/dev/null
+    cp -f "$LOG" /root/repo/runs/400k/train_loop.log 2>/dev/null
+    echo "[loop] snapshotted iter $NEWEST pair to runs/400k (commit it!)" >> "$LOG"
+  fi
   # NOTE: exit 0 does NOT end the loop — a SIGTERM-graceful shutdown also
   # exits 0 (checkpoint + return). Completion is detected solely by the
   # target check at the top of the loop.
