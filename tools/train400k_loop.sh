@@ -16,7 +16,29 @@ EXP=experiments/SelfC_large_GMM_400k
 LOG=/tmp/train400k_loop.log
 TARGET=400000
 
+# Bootstrap: if this (possibly fresh) VM has no experiments dir but the
+# git repo carries a committed resumable pair (runs/400k/latest.state +
+# latest_G.msgpack), seed the experiments tree from it so the run
+# CONTINUES across VM recycles and build rounds instead of restarting.
+SNAP=/root/repo/runs/400k
+if ! ls "$EXP"/training_state/*.state >/dev/null 2>&1 \
+   && [ -f "$SNAP/latest.state" ] && [ -f "$SNAP/latest_G.msgpack" ]; then
+  IT=$(python - "$SNAP/latest.state" <<'EOF'
+import pickle, sys
+with open(sys.argv[1], "rb") as f:
+    print(pickle.load(f)["iter"])
+EOF
+)
+  if [ -n "${IT:-}" ]; then
+    mkdir -p "$EXP/training_state" "$EXP/models"
+    cp -f "$SNAP/latest.state" "$EXP/training_state/$IT.state"
+    cp -f "$SNAP/latest_G.msgpack" "$EXP/models/${IT}_G.msgpack"
+    echo "[loop] bootstrapped iter $IT from committed pair at $(date)" >> "$LOG"
+  fi
+fi
+
 while true; do
+  [ -f /tmp/train400k.stop ] && { echo "[loop] stop-file at $(date)" >> "$LOG"; break; }
   LATEST=$(ls "$EXP"/training_state/*.state 2>/dev/null \
              | sed 's,.*/,,;s,\.state,,' | sort -n | tail -1)
   if [ -n "${LATEST:-}" ] && [ "$LATEST" -ge "$TARGET" ]; then
@@ -46,7 +68,9 @@ EOF
   PYTHONPATH=/root/repo:/root/.axon_site \
   JAX_COMPILATION_CACHE_DIR=/tmp/jax_ccache \
   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2 \
-    python train.py -opt "$CFG" >> "$LOG" 2>&1
+    python train.py -opt "$CFG" >> "$LOG" 2>&1 &
+  echo $! > /tmp/train.pid
+  wait $!
   RC=$?
   echo "[loop] train.py exit=$RC at $(date)" >> "$LOG"
   # Preserve a RESUMABLE pair (params + opt-state) in the git repo: the
@@ -60,6 +84,7 @@ EOF
     cp -f "$EXP/training_state/$NEWEST.state" /root/repo/runs/400k/latest.state
     cp -f "$EXP/models/${NEWEST}_G.msgpack" /root/repo/runs/400k/latest_G.msgpack 2>/dev/null
     cp -f "$LOG" /root/repo/runs/400k/train_loop.log 2>/dev/null
+    echo "$NEWEST" > /root/repo/runs/400k/latest_iter.txt
     echo "[loop] snapshotted iter $NEWEST pair to runs/400k (commit it!)" >> "$LOG"
   fi
   # NOTE: exit 0 does NOT end the loop — a SIGTERM-graceful shutdown also
