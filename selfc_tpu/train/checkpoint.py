@@ -25,8 +25,12 @@ def save_network(params, model_dir: str, iter_label, network_label: str = "G"):
     os.makedirs(model_dir, exist_ok=True)
     path = os.path.join(model_dir, f"{iter_label}_{network_label}.msgpack")
     params = jax.tree.map(np.asarray, jax.device_get(params))
-    with open(path, "wb") as f:
+    # Atomic publish: the crash-proof run loop snapshots {iter}_G.msgpack /
+    # {iter}.state pairs while training continues; a rename means it can
+    # never observe a half-written checkpoint.
+    with open(path + ".tmp", "wb") as f:
         f.write(serialization.msgpack_serialize(params))
+    os.replace(path + ".tmp", path)
     return path
 
 
@@ -92,8 +96,9 @@ def save_training_state(
         "opt_state": jax.tree.map(np.asarray, jax.device_get(opt_state)),
         "extra": extra or {},
     }
-    with open(path, "wb") as f:
+    with open(path + ".tmp", "wb") as f:
         pickle.dump(payload, f)
+    os.replace(path + ".tmp", path)
     return path
 
 

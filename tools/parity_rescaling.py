@@ -183,6 +183,11 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run our CLI on the TPU (default CPU for parity)")
     args = ap.parse_args()
+    # The our-CLI subprocess runs with cwd=/tmp, so relative paths from the
+    # caller's cwd (the round-3 FileNotFoundError at exactly this spot) must
+    # be absolutized before they are baked into the eval yml.
+    args.ckpt = os.path.abspath(args.ckpt)
+    args.root = os.path.abspath(args.root)
 
     pth = "/tmp/parity_r02_G.pth"
     tnet = export_pth(args.ckpt, pth, args.gmm_k)
