@@ -1,4 +1,4 @@
-"""Host-side H.265 codec bridge (FFmpeg/libx265 over pipes).
+"""Host-side H.265 codec bridge (libx265 over pipes).
 
 The reference shells out to FFmpeg through skvideo pipes
 (Quantization_h265_rgb_stream.py:37-162, Quantization_video_compression.py:
@@ -6,15 +6,25 @@ The reference shells out to FFmpeg through skvideo pipes
 decode halves of the pipeline (selfc_tpu/codec/pipeline.py) — the graph is
 split at the codec rather than hiding a subprocess inside one jit.
 
+Two interchangeable real-x265 backends:
+  * the ``ffmpeg`` CLI, when installed (byte-exact match to the
+    reference's skvideo invocation), or
+  * ``selfc_x265`` — our native C++ tool (selfc_tpu/native/selfc_x265.cpp)
+    linked against the system libavcodec/libswscale/libx265, for images
+    that ship the ffmpeg *libraries* but no CLI. Same conversion path
+    (swscale rgb24<->yuv444p), same encoder, same Matroska container, so
+    the file-size bpp accounting matches the reference's.
+
 x265 parameter strings match the reference exactly:
   * streaming mode: ``-pix_fmt yuv444p -c:v libx265 -preset veryfast
     -tune zerolatency -x265-params crf=Q:keyint=K:no-info=1``
   * ``h265_all_default``: drop preset/tune (B-frame default mode)
   (reference :72-96). bpp = file_bytes*8 / (h*w*scale^2*frames) (:128-131).
 
-When ffmpeg is not installed, ``NullCodec`` stands in (identity + synthetic
-bpp) so pipelines and tests still run; ``ffmpeg_available()`` gates real
-parity runs.
+When no real backend exists, ``make_stream`` falls back to the measured-rate
+``ZlibCodec`` stand-in (codec/standin.py); the formula-rate ``NullCodec``
+requires an explicit opt-in. Every stream carries ``bpp_source`` so rate
+log lines can stamp their provenance.
 """
 
 from __future__ import annotations
@@ -26,9 +36,62 @@ import tempfile
 
 import numpy as np
 
+_NATIVE_SRC = os.path.join(os.path.dirname(__file__), "..", "native")
+
+
+def _native_binary() -> str | None:
+    """Path to the selfc_x265 tool, building it on first use if the
+    source tree and toolchain are present."""
+    env = os.environ.get("SELFC_X265")
+    if env and os.path.exists(env):
+        return env
+    binpath = os.path.abspath(os.path.join(_NATIVE_SRC, "bin", "selfc_x265"))
+    if os.path.exists(binpath):
+        return binpath
+    src = os.path.join(_NATIVE_SRC, "selfc_x265.cpp")
+    if os.path.exists(src) and shutil.which("make"):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_SRC)],
+                           capture_output=True, timeout=120, check=True)
+        except Exception:
+            return None
+        if os.path.exists(binpath):
+            return binpath
+    return None
+
+
+_BACKEND_CACHE: list = []
+
+
+def codec_backend() -> str | None:
+    """'ffmpeg' | 'native' | None — the real-x265 backend in use.
+
+    SELFC_TPU_DISABLE_X265=1 forces None: parity harnesses that pin a
+    bit-identical torch twin of a stand-in codec (tools/
+    parity_compression.py) use it to run the stand-in on both stacks
+    even though a real backend exists."""
+    if os.environ.get("SELFC_TPU_DISABLE_X265"):
+        return None
+    if not _BACKEND_CACHE:
+        if shutil.which("ffmpeg"):
+            _BACKEND_CACHE.append("ffmpeg")
+        else:
+            binpath = _native_binary()
+            ok = False
+            if binpath:
+                try:
+                    ok = subprocess.run([binpath, "probe"], capture_output=True,
+                                        timeout=30).returncode == 0
+                except Exception:
+                    ok = False
+            _BACKEND_CACHE.append("native" if ok else None)
+    return _BACKEND_CACHE[0]
+
 
 def ffmpeg_available() -> bool:
-    return shutil.which("ffmpeg") is not None
+    """True when a REAL x265 encode/decode path exists (ffmpeg CLI or the
+    native selfc_x265 tool). Name kept for API compatibility."""
+    return codec_backend() is not None
 
 
 def _x265_params(q, keyint) -> str:
@@ -39,6 +102,8 @@ def _x265_params(q, keyint) -> str:
 
 class H265Stream:
     """Streaming writer/reader mirroring Quantization_H265_Stream."""
+
+    bpp_source = "x265"
 
     def __init__(self, q=17, keyint=12, scale_times=2, h265_all_default=False,
                  workdir=None):
@@ -55,20 +120,32 @@ class H265Stream:
 
     # -- writer ---------------------------------------------------------
     def open_writer(self, w: int, h: int):
-        if not ffmpeg_available():
-            raise RuntimeError("ffmpeg not available")
+        backend = codec_backend()
+        if backend is None:
+            raise RuntimeError("no real x265 backend (ffmpeg CLI or selfc_x265)")
         self.w, self.h = w, h
         self.video_frame_num = 0
-        cmd = [
-            "ffmpeg", "-y", "-loglevel", "error",
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
-            "-i", "pipe:0",
-            "-pix_fmt", "yuv444p", "-c:v", "libx265",
-        ]
-        if not self.h265_all_default:
-            cmd += ["-preset", "veryfast", "-tune", "zerolatency"]
-        cmd += ["-x265-params", _x265_params(self.q, self.keyint), self.video_name]
-        self._writer = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        if backend == "ffmpeg":
+            cmd = [
+                "ffmpeg", "-y", "-loglevel", "error",
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+                "-i", "pipe:0",
+                "-pix_fmt", "yuv444p", "-c:v", "libx265",
+            ]
+            if not self.h265_all_default:
+                cmd += ["-preset", "veryfast", "-tune", "zerolatency"]
+            cmd += ["-x265-params", _x265_params(self.q, self.keyint),
+                    self.video_name]
+        else:
+            cmd = [_native_binary(), "encode", "--size", f"{w}x{h}",
+                   "--x265-params", _x265_params(self.q, self.keyint)]
+            if self.h265_all_default:
+                cmd += ["--all-default"]
+            else:
+                cmd += ["--preset", "veryfast", "--tune", "zerolatency"]
+            cmd += ["-o", self.video_name]
+        self._writer = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                        stderr=subprocess.DEVNULL)
 
     def write_multi_frames(self, frames: np.ndarray):
         """frames: (N, H, W, 3) float [0,1] RGB — uint8-rounded like the
@@ -80,7 +157,14 @@ class H265Stream:
 
     def close_writer(self) -> float:
         self._writer.stdin.close()
-        self._writer.wait()
+        rc = self._writer.wait()
+        if rc != 0 or not os.path.exists(self.video_name):
+            raise RuntimeError(
+                f"x265 encoder failed (rc={rc}) for {self.w}x{self.h}; "
+                "note x265 requires frames of at least 16x16 — tiny-shape "
+                "pipeline tests should set SELFC_TPU_DISABLE_X265=1 and "
+                "use a stand-in codec"
+            )
         file_size = os.path.getsize(self.video_name)
         bpp = (
             file_size * 8.0
@@ -90,11 +174,15 @@ class H265Stream:
 
     # -- reader ---------------------------------------------------------
     def open_reader(self):
-        cmd = [
-            "ffmpeg", "-loglevel", "error", "-i", self.video_name,
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-        ]
-        self._reader = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        if codec_backend() == "ffmpeg":
+            cmd = [
+                "ffmpeg", "-loglevel", "error", "-i", self.video_name,
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+            ]
+        else:
+            cmd = [_native_binary(), "decode", "-i", self.video_name]
+        self._reader = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                        stderr=subprocess.DEVNULL)
 
     def read_multi_frames(self, num: int) -> np.ndarray:
         nbytes = self.h * self.w * 3
@@ -131,9 +219,13 @@ def encode_decode_clip(frames: np.ndarray, q, keyint, scale_times,
 
 
 class NullCodec:
-    """Stand-in codec when ffmpeg is absent: 8-bit quantization + a
-    synthetic bpp derived from the quantized entropy proxy. Keeps the
-    pipeline runnable in codec-less environments (tests, CI)."""
+    """Stand-in codec of last resort: 8-bit quantization + a content-
+    INDEPENDENT formula bpp. Only used on explicit opt-in
+    (stand_in='null'); the default codec-less stand-in is the
+    measured-rate ZlibCodec. Rate lines from this codec must be stamped
+    ``bpp_source='formula'``."""
+
+    bpp_source = "formula"
 
     def __init__(self, q=17, keyint=12, scale_times=2, h265_all_default=False,
                  workdir=None):
@@ -170,18 +262,33 @@ class NullCodec:
         pass
 
 
+def rate_source(stand_in: str | None = None) -> str:
+    """Provenance tag for bpp numbers under the current codec resolution:
+    'x265' (real backend), 'zlib' (measured stand-in bitstream) or
+    'formula' (NullCodec's content-independent number). Every log line
+    that prints a bpp must carry this tag."""
+    if ffmpeg_available():
+        return "x265"
+    if stand_in is None:
+        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "zlib")
+    return "formula" if str(stand_in).lower() == "null" else "zlib"
+
+
 def make_stream(q, keyint, scale_times, h265_all_default=False,
                 stand_in: str | None = None):
-    """Real x265 stream when ffmpeg exists; otherwise the configured
-    stand-in: ``zlib`` = ZlibCodec (REAL bitstream, measured bpp — see
-    codec/standin.py), anything else = NullCodec (identity readback,
-    formula bpp). ``stand_in`` defaults from $SELFC_TPU_STANDIN_CODEC."""
+    """Real x265 stream when a backend exists (ffmpeg CLI or the native
+    selfc_x265 tool); otherwise the configured stand-in. The DEFAULT
+    stand-in is ``zlib`` (ZlibCodec: real bitstream, measured bpp — see
+    codec/standin.py); the formula-rate NullCodec requires an explicit
+    ``stand_in='null'`` opt-in so no code path silently emits a
+    content-independent bpp. ``stand_in`` defaults from
+    $SELFC_TPU_STANDIN_CODEC."""
     if ffmpeg_available():
         return H265Stream(q, keyint, scale_times, h265_all_default)
     if stand_in is None:
-        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "null")
-    if str(stand_in).lower() == "zlib":
-        from .standin import ZlibCodec
+        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "zlib")
+    if str(stand_in).lower() == "null":
+        return NullCodec(q, keyint, scale_times, h265_all_default)
+    from .standin import ZlibCodec
 
-        return ZlibCodec(q, keyint, scale_times, h265_all_default)
-    return NullCodec(q, keyint, scale_times, h265_all_default)
+    return ZlibCodec(q, keyint, scale_times, h265_all_default)

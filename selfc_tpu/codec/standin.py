@@ -17,11 +17,11 @@ no transform), so absolute rates are upper bounds; parity evals against
 the reference's committed x265 logs still require the pinned ffmpeg
 build (reference README.md:9-25).
 
-Select with ``val.standin_codec: zlib`` (codec model) or
-``SELFC_TPU_STANDIN_CODEC=zlib``; the default stand-in remains
-``NullCodec`` (identity readback, formula bpp) because the cross-stack
-parity harness pins a bit-identical torch twin of it
-(tools/parity_compression.py).
+``ZlibCodec`` is the DEFAULT stand-in when no real x265 backend exists
+(ffmpeg CLI or the native selfc_x265 tool — see codec/h265.py); the
+formula-rate ``NullCodec`` now requires an explicit ``stand_in='null'``
+opt-in (the cross-stack parity harness tools/parity_compression.py pins a
+bit-identical torch twin of NullCodec and opts in explicitly).
 """
 
 from __future__ import annotations
@@ -39,6 +39,8 @@ def q_to_step(q) -> int:
 class ZlibCodec:
     """Streaming writer/reader with the H265Stream interface, producing a
     real entropy-coded bitstream and measured bpp."""
+
+    bpp_source = "zlib"
 
     def __init__(self, q=17, keyint=12, scale_times=2,
                  h265_all_default=False, workdir=None):

@@ -89,7 +89,7 @@ def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
     lr = np.asarray(lr)
     B, T = lr.shape[:2]
     if stand_in is None:
-        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "null")
+        stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "zlib")
     outs = []
     bpps = []
     for b in range(B):

@@ -77,6 +77,11 @@ class CodecModel:
             (opt["val"] or {}).get("standin_codec")
             or self.train_opt.get("standin_codec")
         )
+        # bpp provenance tag ('x265' | 'zlib' | 'formula') — stamped onto
+        # every log line that prints a rate (VERDICT r3 item 6)
+        from ..codec.h265 import rate_source
+
+        self.rate_source = rate_source(self._standin_codec)
         # train.mixed_precision: bf16 activations / fp32 masters, mirroring
         # RescaleModel. The 255-level rounding and the host codec always
         # see fp32; losses accumulate in fp32.

@@ -35,25 +35,24 @@ def main():
     setup_logger("base", opt["path"]["log"], "test_" + opt["name"],
                  level=logging.INFO, screen=True, tofile=True)
     logger = logging.getLogger("base")
-    if not ffmpeg_available():
-        standin = (
-            (opt["val"] or {}).get("standin_codec")
-            or os.environ.get("SELFC_TPU_STANDIN_CODEC", "null")
+    from selfc_tpu.codec.h265 import codec_backend, rate_source
+
+    standin = (opt["val"] or {}).get("standin_codec")
+    src = rate_source(standin)
+    if src == "x265":
+        logger.info("rate source: REAL x265 (backend: %s)", codec_backend())
+    elif src == "zlib":
+        logger.warning(
+            "no x265 backend — using the ZlibCodec stand-in: bpp IS a "
+            "measured bitstream rate (codec/standin.py) but is an upper "
+            "bound vs x265; numbers are NOT comparable to the golden logs."
         )
-        if str(standin).lower() == "zlib":
-            logger.warning(
-                "ffmpeg/libx265 not found — using the ZlibCodec stand-in: "
-                "bpp IS a measured bitstream rate (codec/standin.py) but "
-                "is an upper bound vs x265; numbers are NOT comparable to "
-                "the golden logs."
-            )
-        else:
-            logger.warning(
-                "ffmpeg/libx265 not found — using the NullCodec stand-in; "
-                "bpp is a content-independent FORMULA (not a measured "
-                "rate; set val.standin_codec: zlib for a measured one) "
-                "and numbers are NOT comparable to the golden logs."
-            )
+    else:
+        logger.warning(
+            "no x265 backend and val.standin_codec: null — bpp is a "
+            "content-independent FORMULA (not a measured rate) and "
+            "numbers are NOT comparable to the golden logs."
+        )
 
     test_loaders = []
     for phase, dataset_opt in sorted((opt["datasets"] or {}).items()):
@@ -85,9 +84,9 @@ def main():
                 ms[k].append(float(met[k]))
             logger.info(
                 "{:20s} - video_distor_loss: {:.6f}; video_bpp: {:.6f} dB; "
-                "mimick_loss: {:.6f}; img_bpp: {:.6f} dB.".format(
+                "mimick_loss: {:.6f}; img_bpp: {:.6f} dB. [rate: {}]".format(
                     img_name, met["video_distor_loss"], met["video_bpp"],
-                    met["mimick_loss"], met["img_bpp"],
+                    met["mimick_loss"], met["img_bpp"], model.rate_source,
                 )
             )
             sr, gt = vis["SR"], vis["GT"]
@@ -117,9 +116,10 @@ def main():
         logger.info(
             "----Average Compression results for {}----\n\t "
             "ave_video_distor_loss: {:.6f}; ave_video_bpp: {:.6f}dB. "
-            "ave_img_distor_loss: {:.6f}; ave_img_bpp: {:.6f}dB.\n".format(
+            "ave_img_distor_loss: {:.6f}; ave_img_bpp: {:.6f}dB. "
+            "[rate: {}]\n".format(
                 name, mave["video_distor_loss"], mave["video_bpp"],
-                mave["mimick_loss"], mave["img_bpp"],
+                mave["mimick_loss"], mave["img_bpp"], model.rate_source,
             )
         )
         all_psnr.append(ave["psnr"])
@@ -143,8 +143,10 @@ def main():
     logger.info(
         "----Average Compression results for All dataset----\n\t "
         "ave_video_distor_loss: {:.6f}; ave_video_bpp: {:.6f}dB. "
-        "ave_img_distor_loss: {:.6f}; ave_img_bpp: {:.6f}dB.\n".format(
-            _a(all_vd), _a(all_vbpp), _a(all_id), _a(all_ibpp)
+        "ave_img_distor_loss: {:.6f}; ave_img_bpp: {:.6f}dB. "
+        "[rate: {}]\n".format(
+            _a(all_vd), _a(all_vbpp), _a(all_id), _a(all_ibpp),
+            model.rate_source,
         )
     )
 

@@ -68,6 +68,12 @@ class TestBatchedPipeline:
     readback deferred one group) must be numerically identical to the
     reference-shaped serial loop — batch entries are independent."""
 
+    @pytest.fixture(autouse=True)
+    def _force_standin(self, monkeypatch):
+        # these tests pin the pipeline CALL STRUCTURE with deterministic
+        # stand-in codecs at 8x8 LR tiles; real x265 requires >=16x16
+        monkeypatch.setenv("SELFC_TPU_DISABLE_X265", "1")
+
     def _fns(self):
         # deterministic stand-in device fns with cross-pixel coupling
         # inside each tile (3x3 mean filter) so any tile mix-up shows

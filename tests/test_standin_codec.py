@@ -25,6 +25,12 @@ def _clip(seed=0, n=9, h=16, w=16):
 
 
 class TestZlibCodec:
+    @pytest.fixture(autouse=True)
+    def _force_standin(self, monkeypatch):
+        # pin the ZlibCodec branch even on hosts with a real x265 backend
+        # (compress_video/h265_host_roundtrip prefer real x265 otherwise)
+        monkeypatch.setenv("SELFC_TPU_DISABLE_X265", "1")
+
     def test_roundtrip_is_exact_quantization(self):
         """Decoder output == encoder's quantized frames, bit-exactly,
         across intra/delta frames (keyint=4 inside a 9-frame clip)."""

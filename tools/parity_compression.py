@@ -29,6 +29,10 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# both stacks run the bit-identical NullCodec twin below — force our side
+# off the real x265 backend (selfc_x265) and onto the 'null' stand-in
+os.environ["SELFC_TPU_DISABLE_X265"] = "1"
+os.environ["SELFC_TPU_STANDIN_CODEC"] = "null"
 
 T_LEN = 100
 HW = 128

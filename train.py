@@ -235,6 +235,10 @@ def main():
                     msg += "{:s}: {:.4e} ".format(k, v)
                     if tb_logger is not None:
                         tb_logger.add_scalar(k, v, current_step)
+                # bpp provenance: any line printing a rate says where the
+                # rate came from (x265 / zlib stand-in / formula)
+                if "img_bpp" in logs and getattr(model, "rate_source", None):
+                    msg += "rate_src: {:s} ".format(model.rate_source)
                 logger.info(msg)
 
             if (
