@@ -143,9 +143,16 @@ class DataLoader:
             def submit_next():
                 b = next(it, None)
                 if b is not None:
-                    inflight.append(pool.submit(
-                        lambda b=b: _collate([self.dataset[i] for i in b])
-                    ))
+                    try:
+                        inflight.append(pool.submit(
+                            lambda b=b: _collate([self.dataset[i] for i in b])
+                        ))
+                    except RuntimeError:
+                        # interpreter/executor shutting down mid-epoch (e.g.
+                        # SIGTERM-graceful trainer exit): stop producing
+                        # instead of spraying "cannot schedule new futures"
+                        # tracebacks into every run log
+                        stop.set()
 
             for _ in range(2 * self.num_workers):
                 submit_next()

@@ -29,10 +29,16 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# both stacks run the bit-identical NullCodec twin below — force our side
-# off the real x265 backend (selfc_x265) and onto the 'null' stand-in
-os.environ["SELFC_TPU_DISABLE_X265"] = "1"
-os.environ["SELFC_TPU_STANDIN_CODEC"] = "null"
+# Default mode: both stacks run the bit-identical NullCodec twin below —
+# force our side off the real x265 backend and onto the 'null' stand-in.
+# --x265 mode: BOTH stacks run REAL libx265 through the same
+# selfc_tpu.codec.h265.H265Stream bridge (the codec is external to both
+# networks, so sharing the implementation is exact methodology); rate
+# numbers are then real file-size bpp instead of the formula.
+X265_MODE = "--x265" in sys.argv
+if not X265_MODE:
+    os.environ["SELFC_TPU_DISABLE_X265"] = "1"
+    os.environ["SELFC_TPU_STANDIN_CODEC"] = "null"
 
 T_LEN = 100
 HW = 128
@@ -85,6 +91,40 @@ class StandInStream:
         pass
 
 
+class X265TorchStream:
+    """--x265 mode: the torch side streams through the SAME real-libx265
+    bridge (selfc_tpu.codec.h265.H265Stream) our stack uses, adapting the
+    reference's (N,3,h,w) torch tensor interface
+    (Quantization_h265_rgb_stream.py:97-162)."""
+
+    def __init__(self, q, scale_times):
+        from selfc_tpu.codec.h265 import H265Stream
+
+        self._s = H265Stream(q=q, keyint=-1, scale_times=scale_times)
+
+    def open_writer(self, device, w, h):
+        self._s.open_writer(w, h)
+
+    def write_multi_frames(self, frames):
+        x = frames.detach().cpu().clamp(0, 1).numpy().transpose(0, 2, 3, 1)
+        self._s.write_multi_frames(x)
+
+    def close_writer(self):
+        return self._s.close_writer()
+
+    def open_reader(self):
+        self._s.open_reader()
+
+    def read_multi_frames(self, num):
+        import torch
+
+        out = self._s.read_multi_frames(num)  # (N, h, w, 3) float [0,1]
+        return torch.from_numpy(out.transpose(0, 3, 1, 2).copy())
+
+    def close_reader(self):
+        self._s.close_reader()
+
+
 def run_reference(x_video):
     """x_video: (T,3,H,W) float32. Returns (lr_dec, hr, bpp, state_dict)."""
     import torch
@@ -110,7 +150,9 @@ def run_reference(x_video):
     net = codec_arch.SelfCInvNet(
         NET_OPT, 3, 3, "D2DTNet", [4], 1, all_opt
     ).eval()
-    net.Quantization_H265_Stream = StandInStream(Q, SCALE)
+    net.Quantization_H265_Stream = (
+        X265TorchStream(Q, SCALE) if X265_MODE else StandInStream(Q, SCALE)
+    )
 
     x = torch.from_numpy(x_video)
     with torch.no_grad():
@@ -189,7 +231,8 @@ def main():
         ("HR PSNR vs GT", psnr(ref_hr, x), psnr(our_hr, x)),
         ("bpp", ref_bpp, our_bpp),
     ]
-    print(f"\nT={T_LEN}, {HW}x{HW}, scale {SCALE}, q {Q}, stand-in codec")
+    codec_desc = "REAL libx265 (both stacks)" if X265_MODE else "stand-in codec"
+    print(f"\nT={T_LEN}, {HW}x{HW}, scale {SCALE}, q {Q}, {codec_desc}")
     print("| metric | reference (torch CPU) | ours (JAX) |")
     print("|---|---|---|")
     for name, a, b in rows[1:]:
