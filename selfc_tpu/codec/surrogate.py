@@ -71,6 +71,49 @@ class H265Surrogate(nn.Module):
         return SurrogateNet(name="suggrogate_net")(x) + lr
 
 
+class SurrogateNetPlain(nn.Module):
+    """The plain variant's 10-block stack (reference
+    Quantization_h265_suggrogate.py:84-97): Dense(3,m), Dense(m,m),
+    6x FeatureCalapse(m,m), Dense(m,m), Dense(m,3) — INN_init=False
+    everywhere, no residual connections, 3-channel input (no indicator)."""
+
+    mid_c: int = 24
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_c
+        x = DenseBlock2D(3, m, init_mode="plain_xavier", name="net_0")(x)
+        x = DenseBlock2D(m, m, init_mode="plain_xavier", name="net_1")(x)
+        for i in range(6):
+            x = FeatureCollapse(
+                m, m, 4, init_mode="plain_xavier", name=f"net_{2 + i}"
+            )(x)
+        x = DenseBlock2D(m, m, init_mode="plain_xavier", name="net_8")(x)
+        return DenseBlock2D(m, 3, init_mode="plain_xavier", name="net_9")(x)
+
+
+class H265SurrogatePlain(nn.Module):
+    """Plain (no-indicator) surrogate — reference
+    Quantization_h265_suggrogate.py:8-103: fixed q only, no temporal/q
+    indicator plane, no residual add, and the mimick loss is plain MSE with
+    NO Pearson term and NO forward-value swap (the reference returns the raw
+    surrogate output; contrast correlation1's ``sug_out.data = codec``).
+    Select with ``network_G.h265_sug_variant: plain``. The q_value argument
+    is accepted for API symmetry with H265Surrogate and ignored."""
+
+    @nn.compact
+    def __call__(self, lr, q_value=None):
+        return SurrogateNetPlain(name="suggrogate_net")(lr)
+
+
+def mimick_plain(sug, codec_out):
+    """Plain-variant loss: MSE against the detached codec output; the
+    forward value stays the surrogate prediction (no swap) — reference
+    Quantization_h265_suggrogate.py:98-103."""
+    mimick = jnp.mean((jax.lax.stop_gradient(codec_out) - sug) ** 2)
+    return sug, mimick
+
+
 def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
                         h265_all_default: bool = False,
                         stand_in: str | None = None):

@@ -21,7 +21,13 @@ import optax
 
 from ..codec.noise import add_noise
 from ..codec.pipeline import compress_video
-from ..codec.surrogate import H265Surrogate, h265_host_roundtrip, mimick_and_swap
+from ..codec.surrogate import (
+    H265Surrogate,
+    H265SurrogatePlain,
+    h265_host_roundtrip,
+    mimick_and_swap,
+    mimick_plain,
+)
 from ..models import define_G
 from ..ops.quantize import quantize_ste
 from ..parallel.mesh import (
@@ -93,7 +99,23 @@ class CodecModel:
             else 3
         )
         self._h265_keyint = train_len
-        self.surrogate = H265Surrogate(dynamic_q=isinstance(self.q, list))
+        # network_G.h265_sug_variant: 'correlation1' (default; indicator
+        # plane + Pearson term + value swap) | 'plain' (reference
+        # Quantization_h265_suggrogate.py:8-103 — fixed q, raw MSE, no swap)
+        self.surrogate_variant = self.net_opt["h265_sug_variant"] or "correlation1"
+        if self.surrogate_variant == "plain":
+            if isinstance(self.q, list):
+                raise ValueError(
+                    "h265_sug_variant 'plain' supports fixed q only "
+                    "(the reference plain surrogate has no q indicator)"
+                )
+            self.surrogate = H265SurrogatePlain()
+        elif self.surrogate_variant == "correlation1":
+            self.surrogate = H265Surrogate(dynamic_q=isinstance(self.q, list))
+        else:
+            raise ValueError(
+                f"h265_sug_variant {self.surrogate_variant!r}"
+            )
 
         self._q_seed = rng_seed  # dynamic-q stream: (seed, step) keyed
         self.rng = jax.random.PRNGKey(rng_seed)
@@ -178,6 +200,8 @@ class CodecModel:
                 sug = self.surrogate.apply(
                     {"params": params["surrogate"]}, lr_q, q_value
                 )
+                if self.surrogate_variant == "plain":
+                    return mimick_plain(sug, codec_out)
                 lam = self.net_opt["lambda_corr"] or 0.0
                 swapped, mimick = mimick_and_swap(sug, codec_out, lam)
                 return swapped, mimick

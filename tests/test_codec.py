@@ -140,6 +140,44 @@ class TestSurrogateSwap:
         assert abs(float(grad)) > 0
 
 
+class TestPlainSurrogate:
+    """The no-indicator variant (reference Quantization_h265_suggrogate.py:
+    8-103): 3-channel input, raw MSE mimick, NO value swap."""
+
+    def test_forward_shape_and_no_swap(self):
+        from selfc_tpu.codec.surrogate import H265SurrogatePlain, mimick_plain
+
+        rng = np.random.default_rng(3)
+        lr = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+        codec = jnp.asarray(rng.random((1, 3, 16, 16, 3)), jnp.float32)
+        net = H265SurrogatePlain()
+        params = net.init({"params": jax.random.PRNGKey(0)}, lr)["params"]
+        sug = net.apply({"params": params}, lr)
+        assert sug.shape == lr.shape
+        out, loss = mimick_plain(sug, codec)
+        # forward value is the SURROGATE prediction (no swap), loss is MSE
+        np.testing.assert_allclose(np.asarray(out), np.asarray(sug), atol=0)
+        np.testing.assert_allclose(
+            float(loss), float(jnp.mean((codec - sug) ** 2)), rtol=1e-6
+        )
+        # codec output is detached: grad w.r.t. it is exactly zero, grad
+        # w.r.t. the surrogate branch is not
+        g_sug, g_codec = jax.grad(
+            lambda s, c: mimick_plain(s, c)[1], argnums=(0, 1)
+        )(sug, codec)
+        assert float(jnp.max(jnp.abs(g_codec))) == 0.0
+        assert float(jnp.max(jnp.abs(g_sug))) > 0.0
+
+    def test_dynamic_q_rejected(self, tmp_path):
+        from selfc_tpu.train.codec_model import CodecModel
+
+        opt = _tiny_codec_opt(tmp_path, str(tmp_path))
+        opt["network_G"]["h265_sug_variant"] = "plain"
+        opt["network_G"]["h265_q"] = [9, 21]
+        with pytest.raises(ValueError, match="fixed q"):
+            CodecModel(opt)
+
+
 def _tiny_codec_opt(tmp_path, data_root):
     return dict_to_nonedict({
         "is_train": True,
