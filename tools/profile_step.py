@@ -33,10 +33,21 @@ import jax.numpy as jnp
 from tools.bench_train import SHAPE, build_model
 
 
+def build_from_yaml(cfg_path: str):
+    """Build the EXACT trainer model (same HLO => warm persistent-cache
+    hit; a config-variant model pays a fresh ~10 min tunnel compile)."""
+    from selfc_tpu.config import parse
+
+    opt = parse(cfg_path, is_train=True)
+    from selfc_tpu.train.rescale_model import RescaleModel
+
+    return RescaleModel(opt)
+
+
 def capture(model, out_dir: str, steps: int):
     hr = jnp.asarray(np.random.default_rng(0).random(SHAPE), jnp.float32)
     p, s = model.params, model.opt_state
-    step_fn = jax.jit(model._train_step)
+    step_fn = model._jit_train_step
     # warm-up/compile outside the trace
     p2, s2, log = step_fn(p, s, hr, jnp.float32(2e-4), jnp.int32(0))
     np.asarray(log)
@@ -132,10 +143,17 @@ def main():
     ap.add_argument("--out", default="/tmp/jax_trace")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument(
+        "--config", default=None,
+        help="trainer YAML; reuses its exact jitted step (warm cache)",
+    )
     args = ap.parse_args()
 
     if not args.parse_only:
-        model = build_model(remat=False, mixed_precision=not args.fp32)
+        if args.config:
+            model = build_from_yaml(args.config)
+        else:
+            model = build_model(remat=False, mixed_precision=not args.fp32)
         t0 = time.perf_counter()
         capture(model, args.out, args.steps)
         print(f"capture done in {time.perf_counter() - t0:.1f}s "

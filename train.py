@@ -183,6 +183,17 @@ def main():
     ema_data, ema_step, ema, n_timed = 0.0, 0.0, 0.98, 0
     t_mark = time.perf_counter()
 
+    # In-trainer profiler hook (SELFC_TPU_PROFILE_AT=<iter>): capture a
+    # jax.profiler trace of PROFILE_STEPS steps inside THIS process — the
+    # step is already compiled and the chip already claimed, so the
+    # capture costs nothing extra (a separate profiling process pays a
+    # fresh ~10 min remote compile and a second chip claim on this
+    # single-client tunnel). Parse with tools/profile_step.py --parse-only.
+    prof_at = int(os.environ.get("SELFC_TPU_PROFILE_AT") or 0)
+    prof_steps = int(os.environ.get("SELFC_TPU_PROFILE_STEPS") or 3)
+    prof_dir = os.environ.get("SELFC_TPU_PROFILE_DIR") or "/tmp/jax_trace_train"
+    prof_cm = None
+
     # itertools.count: the loop is bounded by total_iters (the inner
     # break), not the epoch estimate — so a resume whose config changed
     # the epoch math (e.g. datasets.train.epoch_ratio) keeps training
@@ -214,8 +225,21 @@ def main():
                     model.save(current_step)
                     model.save_training_state(epoch, current_step)
                     return
+            if prof_at and current_step == prof_at:
+                import jax.profiler as _jprof
+
+                model.get_current_log()  # drain outstanding device work
+                prof_cm = _jprof.trace(prof_dir)
+                prof_cm.__enter__()
+                logger.info("profiler: trace started at iter %d -> %s",
+                            current_step, prof_dir)
             model.feed_data(train_data)
             model.optimize_parameters(current_step)
+            if prof_cm is not None and current_step >= prof_at + prof_steps - 1:
+                model.get_current_log()  # force completion inside the trace
+                prof_cm.__exit__(None, None, None)
+                prof_cm = None
+                logger.info("profiler: trace closed at iter %d", current_step)
             t_done = time.perf_counter()
             ema_data = ema * ema_data + (1 - ema) * (t_have_data - t_mark)
             ema_step = ema * ema_step + (1 - ema) * (t_done - t_have_data)
