@@ -89,6 +89,12 @@ class RescaleModel:
         # discriminator_vgg_arch.py, networks.py:90-113)
         self.gan = None
         if self.is_train and self.train_opt["gan_weight"]:
+            if getattr(self, "_fused_opt", False):
+                raise ValueError(
+                    "train.fused_optimizer is not supported with the GAN "
+                    "branch (gan.train_step drives tx.update on the param "
+                    "tree); unset one of the two"
+                )
             from .gan import AdversarialBranch
 
             self.gan = AdversarialBranch(self)
@@ -141,7 +147,24 @@ class RescaleModel:
             optax.scale_by_adam(b1=to["beta1"] or 0.9, b2=to["beta2"] or 0.999)
         )
         self.tx = optax.chain(*chain)
-        self.opt_state = self.tx.init(self.params)
+        # train.fused_optimizer: run clip / Adam / the non-finite guard on
+        # ONE flattened fp32 parameter vector instead of per-leaf ops over
+        # ~600 arrays. Identical math (clip's global norm and Adam are
+        # elementwise/global either way, modulo fp reassociation of the
+        # norm's sum); the win is launch count — per-leaf reduces, moment
+        # updates and where-selects collapse into a handful of fused
+        # kernels on a 3.4M-element vector. Tree-format .state files are
+        # converted on resume (resume_training), so the flag can be
+        # flipped mid-run.
+        self._fused_opt = bool(self.train_opt["fused_optimizer"])
+        if self._fused_opt:
+            from jax.flatten_util import ravel_pytree
+
+            flat, unravel = ravel_pytree(self.params)
+            self._unravel = unravel
+            self.opt_state = self.tx.init(flat)
+        else:
+            self.opt_state = self.tx.init(self.params)
         # reference MultiStepLR_Restart clears Adam moments at restart
         # milestones when train.clear_state is set (lr_scheduler.py:21-29)
         self._clear_state_steps = (
@@ -213,11 +236,16 @@ class RescaleModel:
     def _train_step(self, params, opt_state, hr, lr_value, step):
         # derive the step RNG on device: no host-side key churn per step
         rng = jax.random.fold_in(self._step_key, step)
+        fused = getattr(self, "_fused_opt", False)
+        if fused:
+            from jax.flatten_util import ravel_pytree
         if self._clear_state_steps:
             # clear optimizer state at LR-restart milestones
             # (reference lr_scheduler.py:21-29, train.clear_state)
             at_restart = jnp.isin(step, jnp.asarray(self._clear_state_steps))
-            fresh = self.tx.init(params)
+            fresh = self.tx.init(
+                ravel_pytree(params)[0] if fused else params
+            )
             opt_state = jax.tree.map(
                 lambda f, o: jnp.where(at_restart, f, o), fresh, opt_state
             )
@@ -225,19 +253,30 @@ class RescaleModel:
         (loss, logs), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, hr, ref_l, rng
         )
-        updates, new_opt_state = self.tx.update(grads, opt_state, params)
-        new_params = jax.tree.map(
-            lambda p, u: p - lr_value * u, params, updates
-        )
         # skip the update entirely on a non-finite loss (the reference has
         # no such guard; a blown-up coupling exp() would poison the run)
         ok = jnp.isfinite(loss)
-        params = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_params, params
-        )
-        opt_state = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
-        )
+        if fused:
+            flat_g = ravel_pytree(grads)[0]
+            flat_p = ravel_pytree(params)[0]
+            updates, new_opt_state = self.tx.update(flat_g, opt_state, flat_p)
+            params = self._unravel(
+                jnp.where(ok, flat_p - lr_value * updates, flat_p)
+            )
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+            )
+        else:
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = jax.tree.map(
+                lambda p, u: p - lr_value * u, params, updates
+            )
+            params = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_params, params
+            )
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+            )
         logs = dict(logs)
         logs["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         # pack the log scalars into ONE device vector: each separate
@@ -499,6 +538,25 @@ class RescaleModel:
             extra=extra,
         )
 
+    def _adapt_opt_state(self, loaded):
+        """Convert a tree-format optax state (per-leaf Adam moments) to the
+        flat-vector layout when train.fused_optimizer is on — so the 400k
+        run's existing .state files resume across the flag flip. Moment
+        trees share the params' tree structure, so ravel_pytree gives the
+        identical element order as the live flat vector. No-op otherwise
+        (and for already-flat states)."""
+        if not getattr(self, "_fused_opt", False):
+            return loaded
+        from jax.flatten_util import ravel_pytree
+
+        def conv(elem):
+            if hasattr(elem, "mu") and isinstance(elem.mu, dict):
+                return elem._replace(
+                    mu=ravel_pytree(elem.mu)[0], nu=ravel_pytree(elem.nu)[0]
+                )
+            return elem
+        return type(loaded)(conv(e) for e in loaded)
+
     def resume_training(self, state_path: str, restore_optimizer: bool = True):
         """NB: the reference's optimizer restore is commented out
         (base_model.py:119-128); pass restore_optimizer=False to match."""
@@ -506,7 +564,9 @@ class RescaleModel:
         self.start_epoch = payload["epoch"]
         self.start_iter = payload["iter"]
         if restore_optimizer and self.is_train:
-            self.opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+            self.opt_state = self._adapt_opt_state(
+                jax.tree.map(jnp.asarray, payload["opt_state"])
+            )
             extra = payload.get("extra") or {}
             if self.gan is not None and "d_opt_state" in extra:
                 self.gan.d_opt_state = jax.tree.map(
