@@ -20,6 +20,9 @@ IT=$(ls "$SRC"/training_state/*.state 2>/dev/null \
   | sed 's,.*/,,;s,\.state,,' | grep -E '^[0-9]+$' | sort -rn \
   | while read -r i; do [ -f "$SRC/models/${i}_G.msgpack" ] && { echo "$i"; break; }; done)
 [ -z "${IT:-}" ] && { echo "no resumable pair under $SRC"; exit 1; }
+# check_resume points pretrain_model_G at the EXPERIMENT's own models dir
+# (config.py:79-84), so the pair must be seeded there, not in /tmp
+EXP=/root/repo/experiments/SelfC_profile_window
 rm -rf "$EXP"; mkdir -p "$EXP/training_state" "$EXP/models"
 cp "$SRC/training_state/$IT.state" "$EXP/training_state/"
 cp "$SRC/models/${IT}_G.msgpack" "$EXP/models/"
@@ -31,7 +34,9 @@ it = int(sys.argv[1])
 with open("selfc_tpu/configs/train/train_rescaling_400k_packed.yml") as f:
     opt = yaml.safe_load(f)
 opt["name"] = "SelfC_profile_window"
-opt["path"]["resume_state"] = f"/tmp/profile_exp/training_state/{it}.state"
+opt["path"]["resume_state"] = (
+    f"/root/repo/experiments/SelfC_profile_window/training_state/{it}.state"
+)
 opt["train"]["niter"] = it + 60
 opt["logger"]["save_checkpoint_freq"] = 1e9  # no checkpoints
 opt["train"]["val_freq"] = 1e9
