@@ -168,6 +168,12 @@ class CodecModel:
 
     def _build_optimizer(self):
         to = self.train_opt
+        if to["fused_optimizer"]:
+            logger.warning(
+                "train.fused_optimizer is ignored by CodecModel (it only "
+                "applies to RescaleModel); the codec step keeps the "
+                "tree-format optax chain."
+            )
         chain = []
         if to["gradient_clipping"]:
             chain.append(optax.clip_by_global_norm(to["gradient_clipping"]))

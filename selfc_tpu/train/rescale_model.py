@@ -544,16 +544,29 @@ class RescaleModel:
         run's existing .state files resume across the flag flip. Moment
         trees share the params' tree structure, so ravel_pytree gives the
         identical element order as the live flat vector. No-op otherwise
-        (and for already-flat states)."""
-        if not getattr(self, "_fused_opt", False):
-            return loaded
+        (and for already-flat states).
+
+        Also handles the REVERSE flip (ADVICE r4): a flat-saved .state
+        resumed with fused_optimizer OFF is unraveled back into the
+        params' tree structure instead of crashing inside tx.update."""
         from jax.flatten_util import ravel_pytree
 
+        fused = getattr(self, "_fused_opt", False)
+        if not fused:
+            _, unravel = ravel_pytree(self.params)
+
         def conv(elem):
-            if hasattr(elem, "mu") and isinstance(elem.mu, dict):
-                return elem._replace(
-                    mu=ravel_pytree(elem.mu)[0], nu=ravel_pytree(elem.nu)[0]
-                )
+            if fused:
+                if hasattr(elem, "mu") and isinstance(elem.mu, dict):
+                    return elem._replace(
+                        mu=ravel_pytree(elem.mu)[0], nu=ravel_pytree(elem.nu)[0]
+                    )
+            elif (
+                hasattr(elem, "mu")
+                and not isinstance(elem.mu, dict)
+                and getattr(elem.mu, "ndim", None) == 1
+            ):
+                return elem._replace(mu=unravel(elem.mu), nu=unravel(elem.nu))
             return elem
         return type(loaded)(conv(e) for e in loaded)
 

@@ -64,6 +64,9 @@ BUCKETS = [
     ("chain bwd kernel", ["chain_bwd", "_bwd_kernel"]),
     ("hg pair kernel", ["hg_pair", "_hg_"]),
     ("deform", ["deform"]),
+    # collective bucket must come BEFORE the generic "fusion" match, or
+    # fusion.clone collectives get misattributed to elementwise (ADVICE r4)
+    ("allreduce/collective", ["all-reduce", "collective", "fusion.clone"]),
     ("fusion/elementwise", ["fusion"]),
     ("convolution (xla)", ["conv", "cudnn"]),
     ("dot/matmul (xla)", ["dot", "gemm", "matmul", "einsum"]),
@@ -72,7 +75,6 @@ BUCKETS = [
                                 "concatenate", "slice", "pad", "gather",
                                 "scatter", "select", "dynamic"]),
     ("rng", ["rng", "threefry", "philox"]),
-    ("allreduce/collective", ["all-reduce", "collective", "fusion.clone"]),
 ]
 
 

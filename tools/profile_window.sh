@@ -13,7 +13,6 @@ set -u
 cd /root/repo
 TRACE=${1:-/tmp/jax_trace_train}
 SRC=${TRAIN_EXP:-/root/repo/.train_wt/experiments/SelfC_large_GMM_400k}
-EXP=/tmp/profile_exp
 LOG=/tmp/profile_window.log
 
 IT=$(ls "$SRC"/training_state/*.state 2>/dev/null \
@@ -57,10 +56,12 @@ echo "$TPID" > /tmp/profile_window.pid
 # niter = it+60 -> train.py exits cleanly on its own shortly after the
 # trace closes; SIGTERM only as a fallback. NEVER SIGKILL mid-compile
 # (a killed remote compile wedges the tunnel for tens of minutes).
+TERMED=0
 for _ in $(seq 1 240); do
   kill -0 "$TPID" 2>/dev/null || break
-  grep -q "profiler: trace closed" "$LOG" 2>/dev/null && {
-    sleep 5; kill -TERM "$TPID" 2>/dev/null; }
+  if [ "$TERMED" = 0 ] && grep -q "profiler: trace closed" "$LOG" 2>/dev/null; then
+    sleep 5; kill -TERM "$TPID" 2>/dev/null; TERMED=1
+  fi
   sleep 5
 done
 wait "$TPID" 2>/dev/null

@@ -192,7 +192,7 @@ def main():
     prof_at = int(os.environ.get("SELFC_TPU_PROFILE_AT") or 0)
     prof_steps = int(os.environ.get("SELFC_TPU_PROFILE_STEPS") or 3)
     prof_dir = os.environ.get("SELFC_TPU_PROFILE_DIR") or "/tmp/jax_trace_train"
-    prof_cm = None
+    prof_state = {"cm": None}
 
     # itertools.count: the loop is bounded by total_iters (the inner
     # break), not the epoch estimate — so a resume whose config changed
@@ -200,6 +200,36 @@ def main():
     # instead of silently exiting when start_epoch > total_epochs.
     import itertools
 
+    try:
+        _train_epochs(
+            opt, model, train_loader, val_loaders, logger, tb_logger,
+            rank, total_iters, train_opt, current_step, stop_requested,
+            rss_limit, prof_at, prof_steps, prof_dir, prof_state,
+            ema, ema_data, ema_step, n_timed, t_mark, best_psnr,
+            itertools,
+        )
+    finally:
+        # close an open profiler trace on EVERY exit path (niter reached,
+        # SIGTERM checkpoint-return, RSS-watchdog return, exception) —
+        # an unclosed trace is lost/corrupt (ADVICE r4).
+        if prof_state.get("cm") is not None:
+            prof_state["cm"].__exit__(None, None, None)
+            prof_state["cm"] = None
+            logger.info("profiler: trace closed on loop exit")
+
+    if rank == 0:
+        logger.info("Saving the final model.")
+        model.save("latest")
+        logger.info("End of training.")
+
+
+def _train_epochs(
+    opt, model, train_loader, val_loaders, logger, tb_logger,
+    rank, total_iters, train_opt, current_step, stop_requested,
+    rss_limit, prof_at, prof_steps, prof_dir, prof_state,
+    ema, ema_data, ema_step, n_timed, t_mark, best_psnr,
+    itertools,
+):
     for epoch in itertools.count(model.start_epoch):
         if opt["dist"] and train_loader.sampler is not None:
             train_loader.sampler.set_epoch(epoch)
@@ -229,16 +259,16 @@ def main():
                 import jax.profiler as _jprof
 
                 model.get_current_log()  # drain outstanding device work
-                prof_cm = _jprof.trace(prof_dir)
-                prof_cm.__enter__()
+                prof_state["cm"] = _jprof.trace(prof_dir)
+                prof_state["cm"].__enter__()
                 logger.info("profiler: trace started at iter %d -> %s",
                             current_step, prof_dir)
             model.feed_data(train_data)
             model.optimize_parameters(current_step)
-            if prof_cm is not None and current_step >= prof_at + prof_steps - 1:
+            if prof_state["cm"] is not None and current_step >= prof_at + prof_steps - 1:
                 model.get_current_log()  # force completion inside the trace
-                prof_cm.__exit__(None, None, None)
-                prof_cm = None
+                prof_state["cm"].__exit__(None, None, None)
+                prof_state["cm"] = None
                 logger.info("profiler: trace closed at iter %d", current_step)
             t_done = time.perf_counter()
             ema_data = ema * ema_data + (1 - ema) * (t_have_data - t_mark)
@@ -295,11 +325,6 @@ def main():
                     model.save("best")
         if current_step > total_iters:
             break
-
-    if rank == 0:
-        logger.info("Saving the final model.")
-        model.save("latest")
-        logger.info("End of training.")
 
 
 if __name__ == "__main__":
