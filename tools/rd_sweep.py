@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Rate-distortion acceptance artifact: full streaming compression eval
+through the REAL libx265 backend at a q sweep, both codec modes.
+
+This executes the reference's acceptance protocol
+(/root/reference/README.md:72, test_logs/VUG_compression_bf/
+test_selfc_h265bf_q9.log:429-433): T=100 clips through the full
+streaming pipeline (GOP segmentation Seg_Len=3, width-halved encode
+tiling, 2x2 decode tiling — selfc_tpu/codec/pipeline.py) with file-size
+bpp from the live x265 stream, per-q HR PSNR / MS-SSIM + LR PSNR / SSIM
+in the golden-log line format. The UVG source clips are not in this
+image, so the clips are synthetic UVG-shaped (1920x1080, T=100); the
+protocol, codec, tiling and rate measurement are the real ones.
+
+One process sweeps every (q, mode) point: the jitted encode/decode are
+shape-keyed only (q and the x265 param string are host-side), so the
+tunnel compile is paid once.
+
+Usage:
+  python tools/rd_sweep.py --out runs/rd_x265 \
+      --ckpt experiments/SelfC_codec_soak/models/984_G.msgpack \
+      --dataroot /tmp/synth_uvg [--qs 9,11,13,17,21] [--modes bf,zerolatency]
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_opt(dataroot, ckpt, scale=2):
+    from selfc_tpu.config import dict_to_nonedict
+
+    opt = {
+        "name": "rd_sweep",
+        "model": "SelfC_GMM_Codec",
+        "scale": scale,
+        "is_train": False,
+        "dist": False,
+        "gpu_ids": [0],
+        "datasets": {
+            "test_1": {
+                "name": "synth_uvg",
+                "mode": "LQGTVID",
+                "phase": "test",
+                "scale": scale,
+                "data_type": "img",
+                "dataroot_GT": dataroot,
+                "dataroot_list": os.path.join(dataroot, "list.txt"),
+                "video_len": 100,
+                "batch_size": 1,
+            }
+        },
+        # network shape of the codec-soak checkpoint
+        # (selfc_tpu/configs/train/train_compression_soak.yml) == the
+        # reference's test_codec_uvg_*.yml shape
+        "network_G": {
+            "which_model_G": {"subnet_type": "D2DTNet"},
+            "in_nc": 3,
+            "out_nc": 3,
+            "block_num": [4],
+            "scale": scale,
+            "init": "xavier",
+            "global_module": "nonlocal",
+            "stp_blk_num": 4,
+            "h265_deart": False,
+            "h265_q": 9,
+            "h265_keyint": -1,
+            "h265_all_default": True,
+            "fh_loss": "l2",
+            "stp_hidden_c": 24,
+            "stp_denseblock_innerc": 12,
+        },
+        "path": {"pretrain_model_G": ckpt, "strict_load": True},
+        "train": None,
+        "val": {},
+    }
+    return dict_to_nonedict(opt)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/rd_x265")
+    ap.add_argument(
+        "--ckpt", default="experiments/SelfC_codec_soak/models/984_G.msgpack"
+    )
+    ap.add_argument("--dataroot", default="/tmp/synth_uvg")
+    ap.add_argument("--qs", default="9,11,13,17,21")
+    ap.add_argument("--modes", default="bf,zerolatency")
+    ap.add_argument("--require-x265", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from selfc_tpu.codec.h265 import codec_backend, rate_source
+    from selfc_tpu.data import create_dataloader, create_dataset
+    from selfc_tpu.train.codec_model import CodecModel
+    from selfc_tpu.utils.metrics import ms_ssim, psnr, ssim
+
+    os.makedirs(args.out, exist_ok=True)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    log = logging.getLogger("rd_sweep")
+    fh = logging.FileHandler(os.path.join(args.out, "rd_sweep.log"), mode="w")
+    fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    logging.getLogger().addHandler(fh)
+
+    src = rate_source(None)
+    log.info("rate source: %s (backend: %s)", src, codec_backend())
+    if src != "x265":
+        log.error("REAL x265 backend unavailable — acceptance artifact "
+                  "requires it; aborting.")
+        sys.exit(2)
+
+    opt = build_opt(args.dataroot, args.ckpt)
+    dataset_opt = opt["datasets"]["test_1"]
+    test_set = create_dataset(dataset_opt)
+    loader = create_dataloader(test_set, dataset_opt)
+    log.info("clips: %d (T=%d)", len(test_set), dataset_opt["video_len"])
+
+    model = CodecModel(opt)
+
+    qs = [int(q) for q in args.qs.split(",")]
+    modes = args.modes.split(",")
+    rows = []
+    for mode in modes:
+        model.h265_all_default = mode == "bf"
+        for q in qs:
+            model.q = q
+            per = {"psnr": [], "msssim": [], "psnr_lr": [], "ssim_lr": [],
+                   "bpp": []}
+            t0 = time.perf_counter()
+            for data in loader:
+                model.feed_data(data)
+                clip = str(data["GT_path"][0]).split("/")[-1]
+                model.test()
+                met = model.get_current_metrics()
+                vis = model.get_current_visuals()
+
+                def fl(a):
+                    return jnp.asarray(a.reshape(-1, *a.shape[2:]))
+
+                sr, gt = vis["SR"], vis["GT"]
+                lr, lrgt = vis["LR"], vis["LR_ref"]
+                p = float(np.mean(np.asarray(psnr(fl(sr), fl(gt)))))
+                m = float(np.mean(np.asarray(ms_ssim(fl(sr), fl(gt)))))
+                plr = float(np.mean(np.asarray(psnr(fl(lr), fl(lrgt)))))
+                slr = float(np.mean(np.asarray(ssim(fl(lr), fl(lrgt)))))
+                bpp = float(met["img_bpp"])
+                per["psnr"].append(p)
+                per["msssim"].append(m)
+                per["psnr_lr"].append(plr)
+                per["ssim_lr"].append(slr)
+                per["bpp"].append(bpp)
+                # golden per-clip line format
+                # (test_logs/VUG_compression_bf/*.log:429-433)
+                log.info(
+                    "%-20s - video_distor_loss: %.6f; video_bpp: %.6f dB; "
+                    "mimick_loss: %.6f; img_bpp: %.6f dB. [rate: %s]",
+                    clip, met["video_distor_loss"], met["video_bpp"],
+                    met["mimick_loss"], met["img_bpp"], model.rate_source,
+                )
+            ave = {k: sum(v) / len(v) for k, v in per.items()}
+            dt = time.perf_counter() - t0
+            log.info(
+                "----Average PSNR/SSIM results for q%d_%s----\n\tpsnr: "
+                "%.6f db; ms-ssim: %.6f. LR psnr: %.6f db; ssim: %.6f.",
+                q, mode, ave["psnr"], ave["msssim"], ave["psnr_lr"],
+                ave["ssim_lr"],
+            )
+            log.info(
+                "----Average Compression results for q%d_%s----\n\t "
+                "ave_video_bpp: %.6f. ave_img_bpp: %.6f. [rate: %s] "
+                "(%.1fs)",
+                q, mode, ave["bpp"], ave["bpp"], model.rate_source, dt,
+            )
+            rows.append({"mode": mode, "q": q, **ave, "wall_s": dt})
+            with open(os.path.join(args.out, "rd_points.json"), "w") as f:
+                json.dump(rows, f, indent=1)
+
+    # ---- summary table + monotonicity acceptance check ----------------
+    lines = ["# Rate-distortion sweep through REAL libx265 "
+             "(native selfc_x265 bridge)",
+             "",
+             f"- clips: synthetic UVG-shaped 1920x1080 T=100 x "
+             f"{len(test_set)} (`tools/make_synth_data.py --seed 42`)",
+             f"- weights: `{args.ckpt}`",
+             "- pipeline: `codec/pipeline.py` (Seg_Len=3 GOPs, "
+             "width-halved encode tiling, 2x2 decode tiling, batched + "
+             "overlapped)",
+             "- bpp: measured file-size rate of the live x265 stream "
+             "(`codec/h265.py`), not a formula",
+             "",
+             "| mode | q | HR PSNR (dB) | HR MS-SSIM | LR PSNR (dB) | "
+             "LR SSIM | bpp | wall (s) |",
+             "|---|---|---|---|---|---|---|---|"]
+    ok = True
+    for mode in modes:
+        sub = [r for r in rows if r["mode"] == mode]
+        sub.sort(key=lambda r: r["q"])
+        for r in sub:
+            lines.append(
+                f"| {r['mode']} | {r['q']} | {r['psnr']:.4f} | "
+                f"{r['msssim']:.4f} | {r['psnr_lr']:.4f} | "
+                f"{r['ssim_lr']:.4f} | {r['bpp']:.6f} | {r['wall_s']:.1f} |"
+            )
+        bpps = [r["bpp"] for r in sub]
+        mono = all(b1 > b2 for b1, b2 in zip(bpps, bpps[1:]))
+        lines.append("")
+        lines.append(f"- `{mode}`: bpp monotone decreasing in q: "
+                     f"**{'PASS' if mono else 'FAIL'}** ({bpps})")
+        lines.append("")
+        ok &= mono
+    with open(os.path.join(args.out, "RD_TABLE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log.info("wrote %s (monotone: %s)", os.path.join(args.out, "RD_TABLE.md"),
+             ok)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
