@@ -94,6 +94,7 @@ class InvBlockExp(nn.Module):
             fused_hg_pair,
             hg_enabled,
             hg_shapes_ok,
+            prepack_stripe,
         )
 
         use_ep = (
@@ -103,11 +104,19 @@ class InvBlockExp(nn.Module):
             and chain_v2_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s1, s2)
             and chain_v2_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s2, s1)
         )
+        if prepack_stripe() and not use_ep:
+            # inputs arrive W-packed: only the stripe-masked ep kernels are
+            # correct (an unmasked fallback leaks convs across stripes) —
+            # the packed driver pre-checks these shapes, so this is a bug
+            raise RuntimeError(
+                "prepacked coupling chain fell off the fused-ep path"
+            )
         # H and G always share their input (y1 fwd / x1 rev): one fused
         # launch computes both chains AND the y2 combine, with exp(+-s)
         # kept on the fp32 accumulator (never round-tripped through HBM)
         use_hg = (
             use_ep
+            and not prepack_stripe()  # hg kernel has no stripe masks
             and hg_enabled()
             and hg_shapes_ok(x1.shape[1], x1.shape[2], x1.shape[3], s1, s2)
         )

@@ -38,6 +38,54 @@ from .coupling import InvBlockExp, ScannedCouplingChain
 from .stp import STPNet, STPNetSmall
 
 
+def _chain_pair(blocks, pair, rev: bool, subnet_type: str):
+    """Run the inv-block chain on an (x1, x2) pair, W-packing ONCE across
+    the WHOLE chain when shapes allow (round-5 perf: one pack+unpack
+    transpose pair per chain instead of one per chain call — kills most
+    of the train step's data-formatting glue, docs/PERF.md).
+
+    Correctness: the pack lays P batch images side by side along W; every
+    fused-ep kernel masks conv taps at stripe boundaries (stripe_w), and
+    ALL inter-block coupling arithmetic is elementwise, so the packed
+    chain computes exactly the per-image chain. The per-block log-jac is
+    normalized by the PACKED batch (B/P), so the sum is rescaled by 1/P."""
+    from ..ops import pallas_chain as pc
+
+    x1, x2 = pair
+    P = 1
+    if (
+        x1.ndim == 5
+        and subnet_type == "D2DTNet"
+        and pc.pack_w_enabled()
+        and pc.chain_v2_enabled()
+        and not pc.hg_enabled()
+    ):
+        B, T, H, W = x1.shape[:4]
+        C1, C2 = x1.shape[-1], x2.shape[-1]
+        P = pc._pick_pack_w(B, W)
+        if P > 1 and not (
+            pc.chain_v2_shapes_ok(T, H, P * W, C1, C2)
+            and pc.chain_v2_shapes_ok(T, H, P * W, C2, C1)
+            and pc.chain_bwd_ok(H, P * W, C1)
+            and pc.chain_bwd_ok(H, P * W, C2)
+        ):
+            P = 1
+    it = list(reversed(blocks)) if rev else blocks
+    jac = 0.0
+    if P == 1:
+        for blk in it:
+            pair, j = blk(pair, rev)
+            jac = jac + j
+        return pair, jac
+    W = x1.shape[3]
+    pair = (pc._pack_w(x1, P), pc._pack_w(x2, P))
+    with pc.prepacked_chain(W):
+        for blk in it:
+            pair, j = blk(pair, rev)
+            jac = jac + j
+    return (pc._unpack_w(pair[0], P), pc._unpack_w(pair[1], P)), jac / P
+
+
 class SelfCNetGMM(nn.Module):
     """Flagship rescaling net (model type 'SelfC_GMM')."""
 
@@ -106,11 +154,10 @@ class SelfCNetGMM(nn.Module):
             return self.scan_chain(y, False)
         # carry the (LR, HF) pair through the chain: the concatenated
         # 51-channel tensor materializes once at the end, not per block
-        pair = (y[..., :3], y[..., 3:])
-        jac = 0.0
-        for blk in self.inv_blocks:
-            pair, j = blk(pair, False)
-            jac = jac + j
+        pair, jac = _chain_pair(
+            self.inv_blocks, (y[..., :3], y[..., 3:]), False,
+            self.subnet_type,
+        )
         return jnp.concatenate(pair, axis=-1), jac
 
     def prior_params(self, lr):
@@ -134,9 +181,9 @@ class SelfCNetGMM(nn.Module):
         if self.scan_blocks:
             y, _ = self.scan_chain(jnp.concatenate([lr, hf], axis=-1), True)
         else:
-            pair = (lr, hf)
-            for blk in reversed(self.inv_blocks):
-                pair, _ = blk(pair, True)
+            pair, _ = _chain_pair(
+                self.inv_blocks, (lr, hf), True, self.subnet_type
+            )
             y = jnp.concatenate(pair, axis=-1)
         return freq_inverse(y, self.scale), y
 
@@ -323,11 +370,11 @@ class SelfCNetCodec(nn.Module):
 
     def encode(self, x):
         y = freq_forward(x, self.scale)
-        pair = (y[..., :3], y[..., 3:])  # pair-carry: concat once at end
-        jac = 0.0
-        for blk in self.inv_blocks:
-            pair, j = blk(pair, False)
-            jac = jac + j
+        # pair-carry: concat once at end
+        pair, jac = _chain_pair(
+            self.inv_blocks, (y[..., :3], y[..., 3:]), False,
+            self.subnet_type,
+        )
         return jnp.concatenate(pair, axis=-1), jac
 
     def _sample_hf(self, params):
@@ -344,9 +391,9 @@ class SelfCNetCodec(nn.Module):
         return self.decode_with_hf(lr, hf)[0], hf
 
     def decode_with_hf(self, lr, hf):
-        pair = (lr, hf)
-        for blk in reversed(self.inv_blocks):
-            pair, _ = blk(pair, True)
+        pair, _ = _chain_pair(
+            self.inv_blocks, (lr, hf), True, self.subnet_type
+        )
         y = jnp.concatenate(pair, axis=-1)
         return freq_inverse(y, self.scale), y
 

@@ -284,11 +284,19 @@ def chain_v2_enabled() -> bool:
     return chain_fused_enabled()
 
 
-def _pick_tile_h_v2(H: int, lanes: int, c_out: int = 48) -> int | None:
+def _pick_tile_h_v2(H: int, lanes: int, c_out: int = 48, W: int = 192,
+                    itemsize: int = 2) -> int | None:
     # Preference measured on v5e at the flagship shapes (tools/bench_tiles):
     # 36-row tiles win for the 3->48 chains and wide-output 64-ch chains;
     # 24 wins for the narrow-output (c_out<=8) F chain whose conv5 slot dot
     # is tiny. Larger tiles amortize the 8-row halo recompute.
+    #
+    # The VMEM model counts EVERYTHING Mosaic allocates per grid step —
+    # the double-buffered pipeline windows (whose last dims lane-pad to
+    # 128) as well as the kernel scratch — at the ACTUAL width and dtype.
+    # The round-4 model assumed W=192/bf16 and skipped the windows, which
+    # overcommitted 5x at the codec eval's f32 W=480 tiles (first driven
+    # for real by the round-5 x265 RD sweep) and crashed the compile.
     if lanes <= 160:  # X = 32
         order = (36, 24, 16, 12, 8, 6, 4)
     elif c_out <= 8:
@@ -298,20 +306,27 @@ def _pick_tile_h_v2(H: int, lanes: int, c_out: int = 48) -> int | None:
     forced = os.environ.get("SELFC_TPU_TILE_H", "")
     if forced:
         order = (int(forced),)
+    lane = lambda c: max(_round_up(c, 128), 128)  # noqa: E731
     for th in order:
         if H % th != 0:
             continue
-        work = (th + 8) * 192 * lanes * 2
-        slot = 3 * th * 192 * lanes * 2
-        part = (th + 6) * 192 * 128 * 4
-        if work + slot + part < 48 * 2 ** 20:
+        work = (th + 8) * W * lanes * itemsize
+        slot = 3 * th * W * lanes * itemsize
+        part = (th + 6) * W * 128 * 4
+        xwin = 2 * (th + 8) * W * lane(lanes - 4 * GC) * itemsize
+        owin = 2 * th * W * lane(c_out) * itemsize
+        feats = 2 * th * W * lane(4 * GC) * itemsize   # emit_feats output
+        aux = 2 * 2 * th * W * lane(c_out) * itemsize  # up to 2 ep aux ins
+        if work + slot + part + xwin + owin + feats + aux < 64 * 2 ** 20:
             return th
     return None
 
 
 def chain_v2_shapes_ok(T: int, H: int, W: int, C: int, c_out: int) -> bool:
     X = _round_up(C, GC)
-    th = _pick_tile_h_v2(H, X + 4 * GC, c_out)
+    # itemsize 4: the gate must accept only what the f32 eval path can
+    # also compile (the impl re-picks with the actual dtype, >= this tile)
+    th = _pick_tile_h_v2(H, X + 4 * GC, c_out, _round_up(W, 16), 4)
     # any W: the wrapper pads to a 16-column multiple and the kernel keeps
     # the pad columns zeroed. Only bail when padding would outweigh the
     # kernel's ~2.4x advantage over the XLA chain (pad ratio > 2).
@@ -562,7 +577,7 @@ def _pallas_impl_v2(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None, m=None,
         W = Wp
     X = _round_up(C, GC)
     c_out = w5.shape[-1]
-    TH = _pick_tile_h_v2(H, X + 4 * GC, c_out)
+    TH = _pick_tile_h_v2(H, X + 4 * GC, c_out, W, x.dtype.itemsize)
 
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (0, 0), (0, X - C)))
     wps = [_prep_weight(w.astype(x.dtype), C, X) for w in ws]
@@ -1482,7 +1497,7 @@ def _pallas_impl_v2r(x, ws, bs, w5, b5, ep="none", clamp=1.0, a=None,
     B, T, H, W, C = x.shape
     X = _round_up(C, GC)
     c_out = w5.shape[-1]
-    TH = _pick_tile_h_v2(H, X + 4 * GC, c_out)
+    TH = _pick_tile_h_v2(H, X + 4 * GC, c_out, W, x.dtype.itemsize)
 
     xp = jnp.pad(x, ((0, 0), (0, 0), (5, 5), (0, 0), (0, X - C)))
     wps = [
@@ -1552,15 +1567,52 @@ def _xla_impl_v2_ep(ep, clamp, x, ws, bs, w5, b5, *aux):
 
 
 from functools import lru_cache  # noqa: E402
+import contextlib  # noqa: E402
+
+# Persistent W-packing across a whole coupling chain (round-5): the
+# caller packs (B -> B/P stripes) ONCE before the 8-block chain and
+# unpacks once after, instead of every chain call paying its own
+# _pack_w/_unpack_w transpose pair (54 pack+unpack transposes per train
+# step -> 8; they were most of the profile's 7.2 ms data-formatting
+# bucket, docs/PERF.md round-4 attribution). Trace-time-only state: the
+# stripe is captured as a STATIC factory key below, so the custom-VJP
+# backward (traced later, outside the scope) still sees it.
+_PREPACK = [0]
+
+
+@contextlib.contextmanager
+def prepacked_chain(stripe: int):
+    """Inside this scope, chain inputs are already W-packed with stripe
+    width ``stripe`` — fused_dense_chain_t_ep skips its own pack/unpack
+    and passes the stripe masks straight to the kernels."""
+    prev = _PREPACK[0]
+    _PREPACK[0] = int(stripe)
+    try:
+        yield
+    finally:
+        _PREPACK[0] = prev
+
+
+def prepack_stripe() -> int:
+    return _PREPACK[0]
 
 
 @lru_cache(maxsize=None)
-def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
+def _fused_chain_ep(ep: str, clamp: float, n_aux: int, stripe: int = 0):
     """custom-VJP'd whole-chain call with a fused coupling epilogue.
-    Keyed by the static (ep, clamp) pair; backward re-derives through the
-    XLA formulation (rematerialization, as the base kernel does)."""
+    Keyed by the static (ep, clamp, stripe) triple; backward re-derives
+    through the XLA formulation (rematerialization, as the base kernel
+    does). ``stripe`` > 0 = inputs arrive already W-packed with that
+    stripe width (see prepacked_chain)."""
 
     def prim(x, ws, bs, w5, b5, *aux):
+        if stripe:
+            return _pallas_impl_v2(
+                x, ws, bs, w5, b5, ep=ep, clamp=clamp,
+                a=aux[0] if n_aux >= 1 else None,
+                m=aux[1] if n_aux >= 2 else None,
+                stripe_w=stripe,
+            )
         if ride_ok(w5.shape[-1], x.shape[3]):
             return _pallas_impl_v2r(
                 x, ws, bs, w5, b5, ep=ep, clamp=clamp,
@@ -1585,6 +1637,17 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
         )
 
     def fwd(x, ws, bs, w5, b5, *aux):
+        if stripe:
+            if _save_feats_active(x, w5):
+                y, feats = _pallas_impl_v2(
+                    x, ws, bs, w5, b5, ep=ep, clamp=clamp,
+                    a=aux[0] if n_aux >= 1 else None,
+                    m=aux[1] if n_aux >= 2 else None,
+                    emit_feats=True, stripe_w=stripe,
+                )
+                return y, (x, ws, bs, w5, b5, aux, feats)
+            return prim(x, ws, bs, w5, b5, *aux), (x, ws, bs, w5, b5,
+                                                   aux, None)
         if _save_feats_active(x, w5) and not ride_ok(w5.shape[-1],
                                                      x.shape[3]):
             P = (_pick_pack_w(x.shape[0], x.shape[3])
@@ -1609,18 +1672,22 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
     def bwd(res, g):
         x, ws, bs, w5, b5, aux, feats_p = res
         if chain_bwd_enabled() and chain_bwd_ok(*x.shape[-3:]):
-            if feats_p is not None:
-                P = x.shape[0] // feats_p.shape[0]
+            if stripe:
+                P, WS = 1, stripe
+                xw, gw, auxw = x, g, aux
             else:
-                P = (_pick_pack_w(x.shape[0], x.shape[3])
-                     if pack_w_enabled() else 1)
-            WS = x.shape[3]
-            xw = _pack_w(x, P) if P > 1 else x
-            gw = _pack_w(g, P) if P > 1 else g
-            auxw = tuple(_pack_w(v, P) for v in aux) if P > 1 else aux
+                if feats_p is not None:
+                    P = x.shape[0] // feats_p.shape[0]
+                else:
+                    P = (_pick_pack_w(x.shape[0], x.shape[3])
+                         if pack_w_enabled() else 1)
+                WS = x.shape[3] if P > 1 else None
+                xw = _pack_w(x, P) if P > 1 else x
+                gw = _pack_w(g, P) if P > 1 else g
+                auxw = tuple(_pack_w(v, P) for v in aux) if P > 1 else aux
             if feats_p is None:
                 feats_p = _pallas_feats(xw, ws, bs, keep_pad=True,
-                                        stripe_w=WS if P > 1 else None)
+                                        stripe_w=WS)
             feats = feats_p[..., :xw.shape[-2], :]
 
             def head(x, feats, w5, b5, *aux):
@@ -1632,14 +1699,22 @@ def _fused_chain_ep(ep: str, clamp: float, n_aux: int):
             _, vjp5 = jax.vjp(head, xw, feats, w5, b5, *auxw)
             dx_direct, dfeats, dw5, db5, *daux = vjp5(gw)
             dx_chain, dws, dbs = _pallas_bwd(
-                xw, ws, bs, dfeats, feats=feats_p,
-                stripe_w=WS if P > 1 else None,
+                xw, ws, bs, dfeats, feats=feats_p, stripe_w=WS,
             )
             dx = dx_direct + dx_chain
             if P > 1:
                 dx = _unpack_w(dx, P)
                 daux = [_unpack_w(v, P) for v in daux]
             return (dx, dws, dbs, dw5, db5, *daux)
+        if stripe:
+            # the XLA oracle has no stripe masks — a packed fallback would
+            # leak conv taps across stripe boundaries. The packed driver
+            # (models/inv_nets._chain_pair) checks chain_bwd_ok up front,
+            # so this only fires on a misconfigured manual scope.
+            raise NotImplementedError(
+                "prepacked chain requires the fused Pallas backward "
+                "(chain_bwd_ok failed for this shape)"
+            )
         _, vjp = jax.vjp(
             lambda x, ws, bs, w5, b5, *aux: _xla_impl_v2_ep(
                 ep, clamp, x, ws, bs, w5, b5, *aux
@@ -1664,7 +1739,7 @@ def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
     ws, bs, w5 = pad_gc_params(ws, bs, w5)
     n_aux = EP_AUX[ep_mode]
     aux = tuple(v.astype(dt) for v in (a, m)[:n_aux])
-    return _fused_chain_ep(ep_mode, float(clamp), n_aux)(
+    return _fused_chain_ep(ep_mode, float(clamp), n_aux, prepack_stripe())(
         x, tuple(w.astype(dt) for w in ws), tuple(b.astype(dt) for b in bs),
         w5.astype(dt), b5.astype(dt), *aux
     )
@@ -1700,7 +1775,7 @@ def fused_dense_chain_t_ep(x, ws, bs, w5, b5, ep_mode, clamp, a=None, m=None):
 
 
 def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False,
-                      WS=None):
+                      WS=None, merged=False):
     if saved:
         f_ref, w1, w2, w3, w4, b_ref, g_ref = rest[:7]
         outs = rest[7:]
@@ -1771,26 +1846,61 @@ def _chain_bwd_kernel(x_ref, *rest, TH, W, WT, X, H, slope, saved=False,
         dp2 = pltpu.roll(jnp.where(ws_col <= WS - 2, dacc, 0.0), 1, 1)
         dpart = jnp.concatenate([dp0, dacc, dp2], axis=-1)
         dpart_c = dpart.astype(work.dtype).reshape(r_out * W, 3 * GC)
-        for dy in range(3):
-            inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
-                r_out * W, kin
-            )
-            dwk = jax.lax.dot_general(
-                inp, dpart_c,
+        if merged:
+            # dy-merged contractions: ONE dW dot and ONE dinp dot per
+            # conv instead of three each (24 -> 8 MXU launches per tile).
+            # The chain dots are launch-bound (~1us each regardless of
+            # K<128 — docs/PERF.md), so fewer, wider dots win as long as
+            # the operand assembly is cheap: inp3 is a lane-axis concat
+            # of 3 row-shifted views of `work` (VPU copies), wcat is a
+            # free leading-dims reshape of the weight ref.
+            inp3 = jnp.concatenate(
+                [work[ri0 + dy:ri0 + dy + r_out, :, :kin]
+                 for dy in range(3)], axis=-1,
+            ).reshape(r_out * W, 3 * kin)
+            dwk3 = jax.lax.dot_general(
+                inp3, dpart_c,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
-                precision=_mxu_precision(inp),
-            )  # (kin, 3*GC)
-            dw_refs[k - 1][dy] = dw_refs[k - 1][dy] + dwk
-            dinp = jax.lax.dot_general(
-                dpart_c, w_refs[k - 1][dy],
+                precision=_mxu_precision(inp3),
+            )  # (3*kin, 3*GC)
+            for dy in range(3):
+                dw_refs[k - 1][dy] = (
+                    dw_refs[k - 1][dy] + dwk3[dy * kin:(dy + 1) * kin]
+                )
+            wcat = w_refs[k - 1][...].reshape(3 * kin, 3 * GC)
+            dinp3 = jax.lax.dot_general(
+                dpart_c, wcat,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
                 precision=_mxu_precision(dpart_c),
-            ).reshape(r_out, W, kin)
-            dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] = (
-                dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] + dinp
-            )
+            ).reshape(r_out, W, 3 * kin)
+            for dy in range(3):
+                dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] = (
+                    dwork[ri0 + dy:ri0 + dy + r_out, :, :kin]
+                    + dinp3[:, :, dy * kin:(dy + 1) * kin]
+                )
+        else:
+            for dy in range(3):
+                inp = work[ri0 + dy:ri0 + dy + r_out, :, :kin].reshape(
+                    r_out * W, kin
+                )
+                dwk = jax.lax.dot_general(
+                    inp, dpart_c,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=_mxu_precision(inp),
+                )  # (kin, 3*GC)
+                dw_refs[k - 1][dy] = dw_refs[k - 1][dy] + dwk
+                dinp = jax.lax.dot_general(
+                    dpart_c, w_refs[k - 1][dy],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=_mxu_precision(dpart_c),
+                ).reshape(r_out, W, kin)
+                dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] = (
+                    dwork[ri0 + dy:ri0 + dy + r_out, :, :kin] + dinp
+                )
 
     # 4. emit this tile's input-gradient window (halos included)
     dx_ref[0, 0] = dwork[:, :, :X]
@@ -1890,6 +2000,7 @@ def _pallas_bwd(x, ws, bs, g, feats=None, stripe_w=None):
     kernel = partial(
         _chain_bwd_kernel, TH=TH, W=Wp, WT=WT, X=X, H=H, slope=0.2,
         saved=saved, WS=stripe_w,
+        merged=os.environ.get("SELFC_TPU_PALLAS_BWD_MERGED", "1") != "0",
     )
     f32 = jnp.float32
     dxp, *dwp_db = pl.pallas_call(
