@@ -133,9 +133,8 @@ def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
     B, T = lr.shape[:2]
     if stand_in is None:
         stand_in = os.environ.get("SELFC_TPU_STANDIN_CODEC", "zlib")
-    outs = []
-    bpps = []
-    for b in range(B):
+
+    def one(b):
         if ffmpeg_available():
             dec, bpp = encode_decode_clip(
                 np.clip(lr[b], 0, 1), int(q), keyint, scale_times,
@@ -143,7 +142,6 @@ def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
             )
             if dec.shape[0] < T:
                 dec = np.clip(lr[b], 0, 1)
-            bpps.append(bpp)
         elif str(stand_in).lower() == "zlib":
             # measured-rate stand-in (codec/standin.py): train-time
             # img_bpp logging gets a real byte count, not a hard zero
@@ -153,11 +151,28 @@ def h265_host_roundtrip(lr: np.ndarray, q: int, keyint: int, scale_times: int,
                 np.clip(lr[b], 0, 1), int(q), keyint, scale_times,
                 h265_all_default,
             )
-            bpps.append(bpp)
         else:
             dec = (np.clip(lr[b], 0, 1) * 255.0).round() / 255.0
-            bpps.append(0.0)
-        outs.append(dec.astype(np.float32))
+            bpp = 0.0
+        return dec.astype(np.float32), bpp
+
+    # Per-clip roundtrips are independent encoder subprocesses — run them
+    # concurrently (threads just babysit pipes) so the host-codec span of
+    # the split-at-codec train step shrinks ~min(B, workers)x. Results
+    # come back in batch order; numbers are identical to the serial loop.
+    # SELFC_TPU_CODEC_WORKERS=1 restores serial (e.g. for timing studies).
+    workers = int(os.environ.get("SELFC_TPU_CODEC_WORKERS") or 0) or min(
+        B, max(1, (os.cpu_count() or 8) - 2)
+    )
+    if B > 1 and workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(workers, B)) as ex:
+            results = list(ex.map(one, range(B)))
+    else:
+        results = [one(b) for b in range(B)]
+    outs = [r[0] for r in results]
+    bpps = [r[1] for r in results]
     return np.stack(outs, axis=0), float(np.mean(bpps))
 
 
