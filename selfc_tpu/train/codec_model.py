@@ -138,6 +138,26 @@ class CodecModel:
         # synchronously mid-graph, SelfC_Codec_arch_inv.py:452-477 — the
         # torch autograd tape plays the role the residuals play here).
         self._split_cache = {}
+        # train.codec_pipeline: opt-in one-step-stale host/device pipeline.
+        # The exact split-at-codec step is inherently serial (fwd -> host
+        # codec -> update, each feeding the next), so the device idles for
+        # the whole encoder span. With the flag on, step i's update runs on
+        # the device WHILE step i+1's clips stream through the host encoder
+        # (subprocess pipes — true concurrency even on a 1-core host), at
+        # the cost of encode-side gradients evaluated one Adam update stale
+        # (classic pipelined-SGD semantics; the reference has no analogue —
+        # its codec call blocks mid-graph, SelfC_Codec_model.py:137-175).
+        # Steady-state wall/step ~ fwd + max(codec_host, update_device)
+        # instead of their sum. Logs and img_bpp lag one step.
+        self._pipeline = bool(self.is_train and self.train_opt["codec_pipeline"])
+        self._pending = None
+        self._codec_pool = None
+        self.last_codec_host_seconds = 0.0   # non-overlapped codec wait
+        self.last_codec_total_seconds = 0.0  # full encoder wall (thread)
+        if self._pipeline:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._codec_pool = ThreadPoolExecutor(max_workers=1)
 
     # ------------------------------------------------------------------
     def _init_params(self):
@@ -480,6 +500,8 @@ class CodecModel:
         )
 
     def optimize_parameters(self, step: int):
+        if self._pipeline and self.noise_type == "h265":
+            return self._optimize_pipelined(step)
         lr_value = self.lr_fn(step)
         q = self.q
         if isinstance(q, list):
@@ -498,6 +520,8 @@ class CodecModel:
             # host-codec share of the step (includes the device->host sync
             # of lr_q); read by tools/bench_train_codec.py
             self.last_codec_host_seconds = time.perf_counter() - t_host
+            # serial path: the step waits for the whole encoder span
+            self.last_codec_total_seconds = self.last_codec_host_seconds
             codec_out = jnp.asarray(codec_np)
         else:
             codec_out = jnp.zeros_like(lr_q)
@@ -510,8 +534,71 @@ class CodecModel:
         self._raw_logs_lr = lr_value
         self._raw_logs_bpp = img_bpp
 
+    # -- train.codec_pipeline -----------------------------------------
+    def _optimize_pipelined(self, step: int):
+        """One-step-stale pipelined step (see __init__).
+
+        Per call: (a) dispatch this batch's encode with the newest
+        dispatched params and pull its quantized LR to host, (b) hand the
+        clips to the background encoder thread, (c) retire the PREVIOUS
+        step — join its encoder (usually already done: it ran during this
+        call's device fwd + the previous update) and dispatch its update.
+        The update then executes on-device while (b)'s encoder streams on
+        the host, which is exactly the overlap the serial step cannot
+        have. Gradients for update i are evaluated at the params of
+        update i-1 (staleness 1)."""
+        lr_value = self.lr_fn(step)
+        q = self.q
+        if isinstance(q, list):
+            q = self._draw_q(step)
+        fwd_jit, step_jit = self._split_for_shape(tuple(self.real_H.shape))
+        lf, lr_q, consts = fwd_jit(self.params, self.real_H)
+        lr_q_np = np.asarray(lr_q)  # sync: waits fwd (+ pending update)
+
+        def roundtrip():
+            t0 = time.perf_counter()
+            dec, bpp = h265_host_roundtrip(
+                lr_q_np, q, self._h265_keyint, self.scale,
+                stand_in=self._standin_codec,
+            )
+            return dec, bpp, time.perf_counter() - t0
+
+        fut = self._codec_pool.submit(roundtrip)
+        prev = self._pending
+        self._pending = dict(
+            step=step, q=q, lr_value=lr_value, hr=self.real_H, lf=lf,
+            consts=consts, fut=fut, step_jit=step_jit,
+        )
+        if prev is not None:
+            self._retire(prev)
+
+    def _retire(self, p):
+        t0 = time.perf_counter()
+        codec_np, img_bpp, codec_wall = p["fut"].result()
+        # residual (non-overlapped) encoder wait vs its full wall; the
+        # difference is the overlap the pipeline bought this step
+        self.last_codec_host_seconds = time.perf_counter() - t0
+        self.last_codec_total_seconds = codec_wall
+        codec_out = jnp.asarray(codec_np)
+        self.params, self.opt_state, logs = p["step_jit"](
+            self.params, self.opt_state, p["hr"], p["lf"], p["consts"],
+            codec_out, jnp.asarray(p["lr_value"], jnp.float32),
+            jnp.asarray(p["step"], jnp.int32), jnp.float32(p["q"]),
+        )
+        self._raw_logs = logs
+        self._raw_logs_lr = p["lr_value"]
+        self._raw_logs_bpp = img_bpp
+
+    def flush_pipeline(self):
+        """Retire any in-flight pipelined step (so saves/evals see the
+        final update applied). No-op when the pipeline is off or drained."""
+        p, self._pending = self._pending, None
+        if p is not None:
+            self._retire(p)
+
     def test(self):
         """Streaming roundtrip through the (real or stand-in) codec."""
+        self.flush_pipeline()
         x = np.asarray(self.real_H)
         net_params = self.params["net"] if "net" in self.params else self.params
 
@@ -618,11 +705,13 @@ class CodecModel:
             self.params = jax.device_put(host, replicated(self.mesh))
 
     def save(self, iter_label):
+        self.flush_pipeline()
         return ckpt.save_network(
             self.params, self.opt["path"]["models"], iter_label
         )
 
     def save_training_state(self, epoch, it):
+        self.flush_pipeline()
         return ckpt.save_training_state(
             self.opt["path"]["training_state"], epoch, it, self.opt_state
         )

@@ -213,6 +213,55 @@ def _tiny_codec_opt(tmp_path, data_root):
 
 
 @pytest.mark.slow
+class TestCodecPipeline:
+    """train.codec_pipeline: one-step-stale host/device overlap
+    (codec_model._optimize_pipelined). The FIRST pipelined update applies
+    gradients at the very params they were computed at — it must equal the
+    serial step bit-for-bit-ish; later steps are stale by one update by
+    design, so the rest of the test checks mechanics (finite losses, flush
+    on save, drained pipeline)."""
+
+    def test_first_step_matches_serial_then_runs(self, tmp_path):
+        from selfc_tpu.train.codec_model import CodecModel
+
+        rng = np.random.default_rng(5)
+        clip = rng.random((1, 3, 32, 32, 3)).astype(np.float32)
+        clip2 = rng.random((1, 3, 32, 32, 3)).astype(np.float32)
+
+        serial = CodecModel(_tiny_codec_opt(tmp_path, str(tmp_path)))
+        serial.feed_data({"GT": clip})
+        serial.optimize_parameters(1)
+
+        opt_p = _tiny_codec_opt(tmp_path, str(tmp_path))
+        opt_p["train"]["codec_pipeline"] = True
+        piped = CodecModel(opt_p)
+        assert piped._pipeline
+        piped.feed_data({"GT": clip})
+        piped.optimize_parameters(1)
+        assert piped._pending is not None  # update 1 in flight
+        piped.flush_pipeline()
+        assert piped._pending is None
+        for a, b in zip(
+            jax.tree.leaves(serial.params), jax.tree.leaves(piped.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6, rtol=2e-6
+            )
+        assert np.isfinite(piped.get_current_log()["loss"])
+
+        # a pipelined window: overlap actually engages (step i's update
+        # dispatched while step i+1's codec encodes), saves drain it
+        piped.feed_data({"GT": clip2})
+        piped.optimize_parameters(2)
+        piped.feed_data({"GT": clip})
+        piped.optimize_parameters(3)  # retires step 2 against step 3's codec
+        assert piped.last_codec_total_seconds > 0.0
+        piped.save("pipe_test")
+        assert piped._pending is None
+        assert np.isfinite(piped.get_current_log()["loss"])
+
+
+@pytest.mark.slow
 class TestCodecModelE2E:
     def test_train_step_and_streaming_eval(self, tmp_path):
         from selfc_tpu.train.codec_model import CodecModel

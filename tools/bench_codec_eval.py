@@ -10,9 +10,9 @@ every segment's latents/HR land in host numpy (np.asarray forces real
 device->host transfer), so wall-clock IS honest on axon — no
 block_until_ready involvement.
 
-Without ffmpeg in the image the codec span is the NullCodec 8-bit
-stand-in (same as PARITY_r02 §1); the INN/STP device compute — the part
-this repo owns — is identical to the real-codec run.
+The codec span is the REAL libx265 stream via the native selfc_x265
+bridge when available (rate provenance stamped on the output line), and
+the NullCodec 8-bit stand-in otherwise.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_codec_eval.py
        [--frames 100] [--height 1080] [--width 1920] [--reps 2]
@@ -90,6 +90,7 @@ def main():
     print(
         f"codec streaming eval {H}x{W} T={T}: {best:.2f}s"
         f" = {T / best:.2f} frames/s/chip (video_bpp={model.video_bpp:.4f})"
+        f" [rate: {model.rate_source}]"
     )
 
 

@@ -1,0 +1,74 @@
+#!/bin/bash
+# VERDICT r4 item 6: does the paper's lambda_cond_prob (GMM conditional
+# NLL, loss_c) help or hurt rescaling PSNR?  Two iteration-matched runs
+# from the same init/seed/data order — A: the 400k recipe + nll_enabled +
+# lambda_cond_prob 1.0 (train_rescaling_nll_window.yml), B: the same with
+# the loss term dead (every shipped reference config's setting,
+# train_rescaling_selfc_large.yml:109) — then both checkpoints through
+# test_rescaling.py on the same clips.
+#
+#   bash tools/nll_compare.sh [NITER=5000] [EVAL_ROOT=/tmp/synth_parity]
+set -u
+cd /root/repo
+NITER=${1:-5000}
+EVAL_ROOT=${2:-/tmp/synth_parity}
+BASE=selfc_tpu/configs/train/train_rescaling_nll_window.yml
+OUT=runs/400k/nll_eval.log
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_ccache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
+
+say() { echo "[nll] $(date -u +%H:%M:%S) $*" | tee -a "$OUT"; }
+
+mkdir -p runs/400k
+: > "$OUT"
+echo "# NLL (lambda_cond_prob) A/B — iteration-matched ${NITER}-iter runs, same seed/data order ($(date -u))" >> "$OUT"
+
+derive() {  # derive <variant a|b> <out_yml>
+  python - "$BASE" "$1" "$2" "$NITER" <<'EOF'
+import sys, yaml
+base, variant, out, niter = sys.argv[1:5]
+with open(base) as f:
+    opt = yaml.safe_load(f)
+opt["train"]["niter"] = int(niter)
+opt["logger"]["save_checkpoint_freq"] = float(niter)
+opt["train"]["val_freq"] = 4e33
+opt["name"] = f"SelfC_nll_{variant}"
+if variant == "b":
+    opt["network_G"]["nll_enabled"] = False
+    opt["train"]["lambda_cond_prob"] = 0
+with open(out, "w") as f:
+    yaml.safe_dump(opt, f)
+EOF
+}
+
+for v in a b; do
+  CFG=/tmp/nll_${v}.yml
+  derive "$v" "$CFG"
+  rm -rf "experiments/SelfC_nll_${v}"
+  say "training variant $v (${NITER} iters)"
+  timeout 3000 python train.py -opt "$CFG" >> "$OUT" 2>&1
+  say "variant $v train exit=$?"
+done
+
+for v in a b; do
+  CKPT=$(ls -t experiments/SelfC_nll_${v}/models/*_G.msgpack 2>/dev/null | head -1)
+  [ -z "${CKPT:-}" ] && { say "variant $v: NO checkpoint"; continue; }
+  EV=/tmp/nll_eval_${v}.yml
+  python - "$CKPT" "$EVAL_ROOT" "$EV" "$v" <<'EOF'
+import sys, yaml, os
+ckpt, root, out, v = sys.argv[1:5]
+with open("selfc_tpu/configs/test/test_SelfC_large_synth.yml") as f:
+    opt = yaml.safe_load(f)
+opt["name"] = f"eval_nll_{v}"
+opt["datasets"]["test_1"]["dataroot_GT"] = root
+opt["datasets"]["test_1"]["dataroot_list"] = os.path.join(root, "list.txt")
+opt["path"]["pretrain_model_G"] = os.path.abspath(ckpt)
+with open(out, "w") as f:
+    yaml.safe_dump(opt, f)
+EOF
+  say "eval variant $v ($CKPT)"
+  timeout 1500 python test_rescaling.py -opt "$EV" --no-images 2>&1 \
+    | grep -E "Averaged|psnr|PSNR" | tail -6 >> "$OUT"
+done
+say "done — table in $OUT"

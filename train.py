@@ -292,6 +292,12 @@ def _train_epochs(
                         opt["logger"]["print_freq"] or 100
                     )
                 last_print_t[0] = now_wall
+                # host-codec span accounting (codec model): total encoder
+                # wall vs the non-overlapped wait the step actually paid —
+                # with train.codec_pipeline the difference is the overlap
+                if getattr(model, "last_codec_total_seconds", 0.0) > 0.0:
+                    logs["codec_tot_s"] = model.last_codec_total_seconds
+                    logs["codec_wait_s"] = model.last_codec_host_seconds
                 msg = "<epoch:{:3d}, iter:{:8,d}, lr:{:.3e}> ".format(
                     epoch, current_step, logs.get("lr", 0.0)
                 )
