@@ -7,11 +7,12 @@
 # train_rescaling_selfc_large.yml:109) — then both checkpoints through
 # test_rescaling.py on the same clips.
 #
-#   bash tools/nll_compare.sh [NITER=5000] [EVAL_ROOT=/tmp/synth_parity]
+#   bash tools/nll_compare.sh [NITER=5000] [EVAL_ROOT=/tmp/synth_parity] [PHASE=all|train|eval]
 set -u
 cd /root/repo
 NITER=${1:-5000}
 EVAL_ROOT=${2:-/tmp/synth_parity}
+PHASE=${3:-all}
 BASE=selfc_tpu/configs/train/train_rescaling_nll_window.yml
 OUT=runs/400k/nll_eval.log
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -21,8 +22,10 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
 say() { echo "[nll] $(date -u +%H:%M:%S) $*" | tee -a "$OUT"; }
 
 mkdir -p runs/400k
-: > "$OUT"
-echo "# NLL (lambda_cond_prob) A/B — iteration-matched ${NITER}-iter runs, same seed/data order ($(date -u))" >> "$OUT"
+if [ "$PHASE" != "eval" ]; then
+  : > "$OUT"
+  echo "# NLL (lambda_cond_prob) A/B — iteration-matched ${NITER}-iter runs, same seed/data order ($(date -u))" >> "$OUT"
+fi
 
 derive() {  # derive <variant a|b> <out_yml>
   python - "$BASE" "$1" "$2" "$NITER" <<'EOF'
@@ -42,14 +45,17 @@ with open(out, "w") as f:
 EOF
 }
 
-for v in a b; do
-  CFG=/tmp/nll_${v}.yml
-  derive "$v" "$CFG"
-  rm -rf "experiments/SelfC_nll_${v}"
-  say "training variant $v (${NITER} iters)"
-  timeout 3000 python train.py -opt "$CFG" >> "$OUT" 2>&1
-  say "variant $v train exit=$?"
-done
+if [ "$PHASE" != "eval" ]; then
+  for v in b a; do  # b first: its jaxpr matches the 400k recipe (warm cache)
+    CFG=/tmp/nll_${v}.yml
+    derive "$v" "$CFG"
+    rm -rf "experiments/SelfC_nll_${v}"
+    say "training variant $v (${NITER} iters)"
+    timeout 3000 python train.py -opt "$CFG" >> "$OUT" 2>&1
+    say "variant $v train exit=$?"
+  done
+fi
+[ "$PHASE" = "train" ] && { say "train phase done (evals deferred)"; exit 0; }
 
 for v in a b; do
   CKPT=$(ls -t experiments/SelfC_nll_${v}/models/*_G.msgpack 2>/dev/null | head -1)
@@ -68,7 +74,9 @@ with open(out, "w") as f:
     yaml.safe_dump(opt, f)
 EOF
   say "eval variant $v ($CKPT)"
-  timeout 1500 python test_rescaling.py -opt "$EV" --no-images 2>&1 \
+  # CPU lane: the evals run after the chip window (the driver's bench owns
+  # the chip by then); fp32 parity grade either way
+  JAX_PLATFORMS=cpu timeout 2400 python test_rescaling.py -opt "$EV" --no-images 2>&1 \
     | grep -E "Averaged|psnr|PSNR" | tail -6 >> "$OUT"
 done
 say "done — table in $OUT"
