@@ -45,8 +45,15 @@ with open(out, "w") as f:
     yaml.safe_dump(opt, f)
 EOF
   say "window $tag: ${secs}s, codec_pipeline=$pipe, resume_from=${latest:-scratch}"
-  timeout $((secs + 120)) python train.py -opt "$runcfg" >> /tmp/soak_${tag}.out 2>&1 &
+  timeout $((secs + 1500)) python train.py -opt "$runcfg" >> /tmp/soak_${tag}.out 2>&1 &
   local tpid=$!
+  # the window clock starts at the FIRST STEP, not at launch — a cold
+  # tunnel compile would otherwise eat the whole budget
+  local warm=$(( $(date +%s) + 1200 ))
+  while kill -0 "$tpid" 2>/dev/null && [ "$(date +%s)" -lt "$warm" ]; do
+    grep -q "<epoch:" /tmp/soak_${tag}.out 2>/dev/null && break
+    sleep 5
+  done
   local end=$(( $(date +%s) + secs ))
   while kill -0 "$tpid" 2>/dev/null && [ "$(date +%s)" -lt "$end" ]; do sleep 10; done
   if kill -0 "$tpid" 2>/dev/null; then

@@ -47,7 +47,7 @@ commit "400k run: chip-window pause at iter $IT" \
   "$OUT/train_loop.log" "$OUT/latest_iter.txt" "$OUT/latest.state" "$OUT/latest_G.msgpack"
 
 # ---- 1. codec soak A/B (serial vs pipelined; makes the rd_sweep ckpt) -
-phase soak 1900 "$OUT/codec_soak_r05.log" bash tools/codec_soak_ab.sh 240 900
+phase soak 2600 "$OUT/codec_soak_r05.log" bash tools/codec_soak_ab.sh 240 900
 commit "round5 chip artifact: real-x265 codec soak, serial vs codec_pipeline A/B (overlap share in-log)" \
   "$OUT/codec_soak_r05.log"
 
@@ -64,7 +64,7 @@ else
 fi
 
 # ---- 3. production-trainer profile re-measure -------------------------
-phase profile 1100 /tmp/profile_window.log bash tools/profile_window.sh /tmp/jax_trace_r05
+phase profile 1300 /tmp/profile_window.log bash tools/profile_window.sh /tmp/jax_trace_r05
 python tools/profile_step.py /tmp/jax_trace_r05 > "$OUT/profile_r05.txt" 2>&1 \
   || echo "[win5] profile_step failed" >> "$OUT/profile_r05.txt"
 grep -E "iter:|wall_s" /tmp/profile_window.log | tail -4 >> "$OUT/profile_r05.txt" 2>/dev/null
