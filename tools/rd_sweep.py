@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_opt(dataroot, ckpt, scale=2):
+def build_opt(dataroot, ckpt, scale=2, seg_batch=4):
     from selfc_tpu.config import dict_to_nonedict
 
     opt = {
@@ -80,7 +80,9 @@ def build_opt(dataroot, ckpt, scale=2):
         },
         "path": {"pretrain_model_G": ckpt, "strict_load": True},
         "train": None,
-        "val": {},
+        # seg_batch bounds the encode-chunk device_put (1080p T=100 HBM
+        # pressure knob; 4 = the CodecModel default)
+        "val": {"seg_batch": seg_batch},
     }
     return dict_to_nonedict(opt)
 
@@ -94,6 +96,7 @@ def main():
     ap.add_argument("--dataroot", default="/tmp/synth_uvg")
     ap.add_argument("--qs", default="9,11,13,17,21")
     ap.add_argument("--modes", default="bf,zerolatency")
+    ap.add_argument("--seg-batch", type=int, default=4)
     ap.add_argument("--require-x265", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -121,7 +124,7 @@ def main():
                   "requires it; aborting.")
         sys.exit(2)
 
-    opt = build_opt(args.dataroot, args.ckpt)
+    opt = build_opt(args.dataroot, args.ckpt, seg_batch=args.seg_batch)
     dataset_opt = opt["datasets"]["test_1"]
     test_set = create_dataset(dataset_opt)
     loader = create_dataloader(test_set, dataset_opt)
