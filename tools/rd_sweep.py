@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_opt(dataroot, ckpt, scale=2, seg_batch=4):
+def build_opt(dataroot, ckpt, scale=2, seg_batch=4, serial=False):
     from selfc_tpu.config import dict_to_nonedict
 
     opt = {
@@ -81,8 +81,10 @@ def build_opt(dataroot, ckpt, scale=2, seg_batch=4):
         "path": {"pretrain_model_G": ckpt, "strict_load": True},
         "train": None,
         # seg_batch bounds the encode-chunk device_put (1080p T=100 HBM
-        # pressure knob; 4 = the CodecModel default)
-        "val": {"seg_batch": seg_batch},
+        # pressure knob; 4 = the CodecModel default). serial=True drops to
+        # the reference's one-call-per-tile pattern (smallest footprint).
+        "val": ({"batch_tiles": False, "overlap": False, "seg_batch": 1}
+                if serial else {"seg_batch": seg_batch}),
     }
     return dict_to_nonedict(opt)
 
@@ -97,6 +99,7 @@ def main():
     ap.add_argument("--qs", default="9,11,13,17,21")
     ap.add_argument("--modes", default="bf,zerolatency")
     ap.add_argument("--seg-batch", type=int, default=4)
+    ap.add_argument("--serial", action="store_true")
     ap.add_argument("--require-x265", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -124,7 +127,8 @@ def main():
                   "requires it; aborting.")
         sys.exit(2)
 
-    opt = build_opt(args.dataroot, args.ckpt, seg_batch=args.seg_batch)
+    opt = build_opt(args.dataroot, args.ckpt, seg_batch=args.seg_batch,
+                    serial=args.serial)
     dataset_opt = opt["datasets"]["test_1"]
     test_set = create_dataset(dataset_opt)
     loader = create_dataloader(test_set, dataset_opt)
