@@ -97,7 +97,7 @@ def main():
     )
     ap.add_argument("--dataroot", default="/tmp/synth_uvg")
     ap.add_argument("--qs", default="9,11,13,17,21")
-    ap.add_argument("--modes", default="bf,zerolatency")
+    ap.add_argument("--modes", default="zerolatency,bf")
     ap.add_argument("--seg-batch", type=int, default=4)
     ap.add_argument("--serial", action="store_true")
     ap.add_argument("--require-x265", action="store_true", default=True)
@@ -153,15 +153,24 @@ def main():
                 met = model.get_current_metrics()
                 vis = model.get_current_visuals()
 
-                def fl(a):
-                    return jnp.asarray(a.reshape(-1, *a.shape[2:]))
+                # metrics in frame chunks: a single 100x1080p device call
+                # (plus the gaussian-filter temporaries) exceeds HBM
+                def chunked(fn, a, b, bs=10):
+                    a = np.asarray(a).reshape(-1, *a.shape[2:])
+                    b = np.asarray(b).reshape(-1, *b.shape[2:])
+                    vals = []
+                    for i in range(0, a.shape[0], bs):
+                        v = fn(jnp.asarray(a[i:i + bs]),
+                               jnp.asarray(b[i:i + bs]))
+                        vals.append(np.atleast_1d(np.asarray(v)))
+                    return float(np.mean(np.concatenate(vals)))
 
                 sr, gt = vis["SR"], vis["GT"]
                 lr, lrgt = vis["LR"], vis["LR_ref"]
-                p = float(np.mean(np.asarray(psnr(fl(sr), fl(gt)))))
-                m = float(np.mean(np.asarray(ms_ssim(fl(sr), fl(gt)))))
-                plr = float(np.mean(np.asarray(psnr(fl(lr), fl(lrgt)))))
-                slr = float(np.mean(np.asarray(ssim(fl(lr), fl(lrgt)))))
+                p = chunked(psnr, sr, gt)
+                m = chunked(ms_ssim, sr, gt)
+                plr = chunked(psnr, lr, lrgt)
+                slr = chunked(ssim, lr, lrgt)
                 bpp = float(met["img_bpp"])
                 per["psnr"].append(p)
                 per["msssim"].append(m)
