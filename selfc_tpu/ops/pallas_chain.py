@@ -2000,7 +2000,13 @@ def _pallas_bwd(x, ws, bs, g, feats=None, stripe_w=None):
     kernel = partial(
         _chain_bwd_kernel, TH=TH, W=Wp, WT=WT, X=X, H=H, slope=0.2,
         saved=saved, WS=stripe_w,
-        merged=os.environ.get("SELFC_TPU_PALLAS_BWD_MERGED", "1") != "0",
+        # dy-merged contractions (8 vs 24 MXU launches/tile) default OFF:
+        # the on-chip A/B (runs/400k/profile_r05.txt) measured the merged
+        # path at 107.7 ms/step vs 97.6 ms with it off — the bigger
+        # per-launch dy/dW working set loses more to VMEM pressure than
+        # the launch overhead it saves. Opt back in with
+        # SELFC_TPU_PALLAS_BWD_MERGED=1.
+        merged=os.environ.get("SELFC_TPU_PALLAS_BWD_MERGED", "0") != "0",
     )
     f32 = jnp.float32
     dxp, *dwp_db = pl.pallas_call(
